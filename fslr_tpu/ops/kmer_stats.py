@@ -118,34 +118,34 @@ def _block_stats_impl(seq, lens, mask, tel_table, min_block_len,
     tel_tot = jnp.maximum(blen - 5, 1)
     tel_pct = tel_cnt.astype(jnp.float32) / tel_tot.astype(jnp.float32)
 
-    # --- compute_rep per block (segmented sort over k = 2..6) ----------
+    # --- compute_rep per block (segmented lexsort over k = 2..6) -------
+    # int32 keys only (TPU has no native int64): stable lexsort by
+    # (block run id, k-mer code, position) makes "previous occurrence of
+    # the same k-mer within the block" the preceding element.
     tot_amount = jnp.zeros(R, jnp.float32)
-    BIG = jnp.int64(2) ** 62
-    col64 = col.astype(jnp.int64)
-    rid64 = flat_rid.astype(jnp.int64)
     for k in (2, 3, 4, 5, 6):
-        NC = NUM_SYMBOLS ** k
-        ck = _kmer_codes_2d(seq, k).reshape(-1).astype(jnp.int64)
+        ck = _kmer_codes_2d(seq, k).reshape(-1)
         rid_kk = jnp.pad(rid2d[:, k:], ((0, 0), (0, k)),
                          constant_values=trash).reshape(-1)
         # visited iff the k-mer AND position i+k are inside the same block
         # (reference range(len(s)-k) skips the final in-block k-mer)
         visited = flat_mask & (flat_rid == rid_kk)
-        key = (rid64 * NC + ck) * L + col64
-        key = jnp.where(visited, key, BIG)
-        skey = jnp.sort(key)
-        pkey = jnp.roll(skey, 1)
-        grp = skey // L
-        same = (grp == (pkey // L)) & (skey < BIG)
+        srid_in = jnp.where(visited, flat_rid, trash)
+        order = jnp.lexsort((col, ck, srid_in))
+        srid = srid_in[order]
+        scode = ck[order]
+        scol = col[order]
+        prid = jnp.roll(srid, 1)
+        pcode = jnp.roll(scode, 1)
+        pcol = jnp.roll(scol, 1)
+        same = (srid == prid) & (scode == pcode) & (srid != trash)
         same = same.at[0].set(False)
-        d = (skey % L) - (pkey % L)
+        d = scol - pcol
         decay = 0.25 / k
         amount = jnp.where(same,
                            jnp.exp(-decay * (d.astype(jnp.float32) - 1.0)),
                            0.0)
-        srid = jnp.where(skey < BIG, (skey // (NC * L)).astype(jnp.int32),
-                         trash)
-        ii = (skey % L).astype(jnp.int32) - bstart[srid]
+        ii = scol - bstart[srid]
         amount = jnp.where(ii > k, amount, 0.0)
         tot_amount = tot_amount + jax.ops.segment_sum(amount, srid, R)
 
@@ -161,11 +161,18 @@ def _block_stats_impl(seq, lens, mask, tel_table, min_block_len,
     junk_block = junk_block & (jnp.arange(R) != trash)
     junk_read = jnp.zeros(B, jnp.bool_).at[bid].max(
         junk_block, mode='drop')
-    return junk_read
+    return junk_read, (blen, tel_pct, rep, bid, bstart)
 
 
 def junk_blocks(seq, lens, mask, cfg: JunkFilterConfig):
     """Per-read junk decision (B,) bool from the repeat mask."""
+    junk, _ = junk_blocks_debug(seq, lens, mask, cfg)
+    return junk
+
+
+def junk_blocks_debug(seq, lens, mask, cfg: JunkFilterConfig):
+    """Junk decision plus per-run (blen, tel_pct, rep, read_id, start) arrays
+    for oracle tests."""
     table = jnp.asarray(telomere_table(6))
     return _block_stats_impl(
         jnp.asarray(seq), jnp.asarray(lens, jnp.int32), jnp.asarray(mask),

@@ -1,0 +1,201 @@
+"""Stage A: junk / concatemer filtering.
+
+Replicates the observable contract of the reference worker
+(/root/reference/fslr/filter_junk_from_fq.py:207-231 `func` +
+:120-183 `get_seqs_to_drop`):
+
+  input FASTQ/FASTA -> repeat-masked records; reads dropped as
+    * junk      — any masked block > 150 bp that is non-telomeric
+                  (telmer_pct <= 0.3) and repetitive (rep >= 0.3),
+    * short     — len <= 200 (min length 200 plus the empty-interior case),
+    * concatemer— any primer sequence (fwd or revcomp) aligns with SW score
+                  >= 28 inside the read interior (100 bp end-trim), scanned
+                  in 10 kb chunks with primer-length+10 overlap;
+  survivors written to ``{out}/{name}.{uuid}.filtered_junk.fq`` as
+  repeat-masked FASTA records (the reference writes tantan's FASTA records,
+  so qualities are dropped and repeats are lowercase), with counters
+  total_kept / total_dropped / junk_seqs_dropped / short_seqs_dropped /
+  concatemers_dropped.
+
+TPU mapping: the tantan subprocess + per-read Python scanning becomes
+batched device ops — ops/tantan.repeat_mask, ops/kmer_stats.junk_blocks and
+ops/ssw.sw_max over a flattened (read, window, primer, strand) batch.
+Unlike the reference, the concatemer scan uses one window grid with a
+common overlap of max(primer len)+10; any alignment scoring >= 28 spans
+fewer target bases than the overlap, so decisions are identical.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections import Counter
+from typing import Iterable
+
+import numpy as np
+
+from fslr_tpu.config import PipelineConfig
+from fslr_tpu.encode import batch_encode, bucket_length, encode, revcomp
+from fslr_tpu.io.fastq import FastxRecord, read_fastx
+from fslr_tpu.ops import kmer_stats, ssw, tantan
+from fslr_tpu.panel import PrimerPanel
+
+
+def _mask_to_fasta_seq(seq: str, mask: np.ndarray) -> str:
+    arr = np.frombuffer(seq.upper().encode(), dtype=np.uint8).copy()
+    lower = mask[:len(arr)]
+    arr[lower] |= 0x20
+    return arr.tobytes().decode()
+
+
+def _concatemer_windows(length: int, cfg, overlap: int):
+    """Window (start, end) pairs in interior coordinates, replicating the
+    reference chunk walk (filter_junk_from_fq.py:79-99)."""
+    interior = length - 2 * cfg.end_trim
+    if interior <= 0:
+        return []
+    if interior <= cfg.chunk_size:
+        return [(0, interior)]
+    out = []
+    start = 0
+    while start < interior:
+        s = max(0, start - overlap)
+        e = min(start + cfg.chunk_size + overlap, interior)
+        out.append((s, e))
+        if start + cfg.chunk_size >= interior:
+            break
+        start += cfg.chunk_size
+    return out
+
+
+def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
+                        config: PipelineConfig, backend: str | None = None):
+    """Classify records. Returns (keep_flags, masks, counters)."""
+    cfg = config.junk
+    counters = Counter(total_kept=0, total_dropped=0, junk_seqs_dropped=0,
+                       short_seqs_dropped=0, concatemers_dropped=0)
+    n = len(records)
+    keep = np.ones(n, dtype=bool)
+    junk = np.zeros(n, dtype=bool)
+    masks = [None] * n
+
+    # ---- repeat masking + block scoring, bucketed by length ------------
+    buckets: dict[int, list[int]] = {}
+    for i, rec in enumerate(records):
+        L = bucket_length(len(rec.sequence), config.batch.length_buckets)
+        buckets.setdefault(L, []).append(i)
+
+    for L, idxs in sorted(buckets.items()):
+        # cap device batch so the HMM forward storage stays bounded
+        step = max(1, min(config.batch.batch_size, (1 << 21) // L))
+        for off in range(0, len(idxs), step):
+            part = idxs[off:off + step]
+            seqs = [records[i].sequence for i in part]
+            seq, lens = batch_encode(seqs, L)
+            m = np.asarray(tantan.repeat_mask(seq, lens, cfg))
+            j = np.asarray(kmer_stats.junk_blocks(seq, lens, m, cfg))
+            for bi, i in enumerate(part):
+                masks[i] = m[bi]
+                junk[i] = j[bi]
+
+    # ---- short / concatemer for non-junk reads -------------------------
+    primers = [panel.seqs[k] for k in panel.names]
+    prim_codes = ([encode(p) for p in primers]
+                  + [revcomp(encode(p)) for p in primers])
+    maxp = max((len(p) for p in primers), default=0)
+    overlap = maxp + cfg.chunk_overlap_pad
+
+    win_rows = []      # (read_idx, window_start, window_end, primer_idx)
+    short = np.zeros(n, dtype=bool)
+    for i, rec in enumerate(records):
+        if junk[i]:
+            continue
+        L = len(rec.sequence)
+        if L < cfg.min_read_length or L - 2 * cfg.end_trim <= 0:
+            short[i] = True
+            continue
+        for (s, e) in _concatemer_windows(L, cfg, overlap):
+            for pi in range(len(prim_codes)):
+                win_rows.append((i, s, e, pi))
+
+    concat = np.zeros(n, dtype=bool)
+    if win_rows:
+        wlen = max(e - s for (_, s, e, _) in win_rows)
+        WT = bucket_length(wlen, (512, 1024, 2048, 4096,
+                                  cfg.chunk_size + 2 * overlap + 64))
+        NW = len(win_rows)
+        q = np.full((NW, 128), 4, dtype=np.uint8)
+        t = np.full((NW, WT), 4, dtype=np.uint8)
+        qlens = np.zeros(NW, dtype=np.int32)
+        tlens = np.zeros(NW, dtype=np.int32)
+        enc_cache: dict[int, np.ndarray] = {}
+        for r, (i, s, e, pi) in enumerate(win_rows):
+            if i not in enc_cache:
+                enc_cache[i] = encode(records[i].sequence)
+            interior = enc_cache[i][cfg.end_trim:len(records[i].sequence)
+                                    - cfg.end_trim]
+            w = interior[s:e]
+            t[r, :len(w)] = w
+            tlens[r] = len(w)
+            pc = prim_codes[pi]
+            q[r, :len(pc)] = pc
+            qlens[r] = len(pc)
+        score, _, _ = ssw.sw_max(q, t, qlens, tlens, config.scoring,
+                                 backend=backend)
+        score = np.asarray(score)
+        hit = score >= cfg.concatemer_score
+        for r, (i, s, e, pi) in enumerate(win_rows):
+            if hit[r]:
+                concat[i] = True
+
+    # ---- decisions + counters (reference order: junk, then short/concat)
+    for i in range(n):
+        if junk[i]:
+            keep[i] = False
+            counters['junk_seqs_dropped'] += 1
+        elif short[i]:
+            keep[i] = False
+            counters['short_seqs_dropped'] += 1
+        elif concat[i]:
+            keep[i] = False
+            counters['concatemers_dropped'] += 1
+        if keep[i]:
+            counters['total_kept'] += 1
+        else:
+            counters['total_dropped'] += 1
+    return keep, masks, junk, short, concat, counters
+
+
+def run_file(path: str, panel: PrimerPanel, config: PipelineConfig,
+             backend: str | None = None) -> dict:
+    """Process one input file; returns counters.  Writes
+    ``{out}/{name}.{uuid}.filtered_junk.fq`` (+ ``.junk.fq`` if keep_temp),
+    mirroring the reference worker's file contract
+    (filter_junk_from_fq.py:213-216)."""
+    records = list(read_fastx(path))
+    keep, masks, junk, short, concat, counters = filter_junk_records(
+        records, panel, config, backend)
+    temp_name = str(uuid.uuid4())
+    out_path = os.path.join(config.out,
+                            f'{config.name}.{temp_name}.filtered_junk.fq')
+    junk_path = os.path.join(config.out, f'{config.name}.{temp_name}.junk.fq')
+    with open(out_path, 'w') as out, open(junk_path, 'w') as junkf:
+        for i, rec in enumerate(records):
+            seq = _mask_to_fasta_seq(rec.sequence, masks[i])
+            name = rec.name
+            if not keep[i] and config.keep_temp:
+                if junk[i]:
+                    name += '_junk'
+                elif short[i]:
+                    name += '_short'
+                elif concat[i]:
+                    name += '_concatemer'
+            fa = FastxRecord(name=name, sequence=seq, quality=None,
+                             comment=rec.comment)
+            if keep[i]:
+                out.write(str(fa) + '\n')
+            elif config.keep_temp:
+                junkf.write(str(fa) + '\n')
+    if not config.keep_temp:
+        os.remove(junk_path)
+    return dict(counters)

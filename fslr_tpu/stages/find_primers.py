@@ -1,0 +1,175 @@
+"""Stage B: primer identification + trimming.
+
+Replicates the observable contract of the reference
+(/root/reference/fslr/find_reads_with_primers.py):
+
+  * all primer-pair orientation combos (F/R at each end) over the 68 bp
+    ``primer_alignment_target`` sequences (:80-91);
+  * per read, each pair's p1 aligned to the first min(len/2, 500) bp and p2
+    to the last min(len/2, 500) bp; score normalized by 2*len(target)
+    (:48-63);
+  * labels are 'False' below trim_threshold (default 0.4); best pair by
+    rounded score1+score2 (:59-65);
+  * trim to [aln1.target_begin, len - p2_space + aln2.target_end_optimal]
+    (exclusive end, reproducing the reference slice off-by-one) — applied
+    even when one side is 'False' (:69-74);
+  * rename ``{name}.{s1}_{s2}.{lab1}_{lab2}`` and route to
+    ``.primers_labelled.fq`` / ``.no_primers.fq`` (:107-113);
+  * counters: starting_bases / trimmed_bases / trimmed_reads / per-label
+    combo counts (:93-114).
+
+TPU mapping: the per-pair SSW loop collapses to one batched device call per
+window side — alignments depend only on (primer, orientation, window), so
+we compute the |P|*2 distinct alignments per side and combine scores into
+the |P|^2 * 4 pair matrix on host (identical results, 4|P|x fewer
+alignments than the reference loop).
+
+Tie-breaking note: the reference enumerates pairs from an unordered
+``set`` and takes the last max under a stable sort, so its tie-break among
+equal-scoring pairs is unspecified (process-dependent hash order).  We fix
+a deterministic order: panel order for k1, then k2, with orientation combos
+in reference append order [(F,R), (R,F), (F,F), (R,R)]; ties pick the last
+pair in this order.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import numpy as np
+
+from fslr_tpu.config import PipelineConfig
+from fslr_tpu.encode import encode, revcomp
+from fslr_tpu.io.fastq import FastxRecord, read_fastx
+from fslr_tpu.ops import ssw
+from fslr_tpu.panel import PrimerPanel
+
+ORIENT_COMBOS = (('F', 'R'), ('R', 'F'), ('F', 'F'), ('R', 'R'))
+
+
+def _side_alignments(records, targets, window, scoring, side: str,
+                     backend=None):
+    """SW of every (primer target, orientation) against one window side of
+    every read.  Returns dict arrays keyed like sw_locate, with shape
+    (n_reads, n_targets)."""
+    n = len(records)
+    m = len(targets)
+    NW = n * m
+    q = np.full((NW, 128), 4, dtype=np.uint8)
+    t = np.full((NW, 512), 4, dtype=np.uint8)
+    qlens = np.zeros(NW, dtype=np.int32)
+    tlens = np.zeros(NW, dtype=np.int32)
+    for i, rec in enumerate(records):
+        L = len(rec.sequence)
+        space = min(L // 2, window)
+        codes = encode(rec.sequence)
+        w = codes[:space] if side == 'start' else codes[L - space:]
+        for j, tc in enumerate(targets):
+            r = i * m + j
+            t[r, :len(w)] = w
+            tlens[r] = len(w)
+            q[r, :len(tc)] = tc
+            qlens[r] = len(tc)
+    res = ssw.sw_locate(q, t, qlens, tlens, scoring, backend=backend)
+    return {k: np.asarray(v).reshape(n, m) for k, v in res.items()}
+
+
+def label_and_chop(records: list[FastxRecord], panel: PrimerPanel,
+                   config: PipelineConfig, backend: str | None = None):
+    """Returns (labelled_records, has_primer_flags, counters)."""
+    cfg = config.primer
+    names = list(panel.names)
+    # distinct (primer, orientation) targets, panel order, F then R per name
+    tdefs = []          # (name, strand, codes)
+    for k in names:
+        tc = encode(panel.targets[k])
+        tdefs.append((k, 'F', tc))
+        tdefs.append((k, 'R', revcomp(tc)))
+    tcodes = [c for (_, _, c) in tdefs]
+    tlen = np.array([len(c) for c in tcodes])
+
+    counters = Counter()
+    counters['starting_bases'] = 0
+    counters['trimmed_bases'] = 0
+    counters['trimmed_reads'] = 0
+
+    if not records:
+        return [], np.zeros(0, bool), counters
+
+    a1 = _side_alignments(records, tcodes, cfg.search_window, config.scoring,
+                          'start', backend)
+    a2 = _side_alignments(records, tcodes, cfg.search_window, config.scoring,
+                          'end', backend)
+
+    # pair enumeration (deterministic; see module docstring)
+    pair_defs = []      # (t1_idx, t2_idx, k1, k2, s1, s2)
+    for i1, k1 in enumerate(names):
+        for i2, k2 in enumerate(names):
+            for (s1, s2) in ORIENT_COMBOS:
+                t1 = 2 * i1 + (0 if s1 == 'F' else 1)
+                t2 = 2 * i2 + (0 if s2 == 'F' else 1)
+                pair_defs.append((t1, t2, k1, k2, s1, s2))
+    p1_idx = np.array([p[0] for p in pair_defs])
+    p2_idx = np.array([p[1] for p in pair_defs])
+
+    # normalized scores (float64, matching reference host arithmetic)
+    max_score = (2.0 * tlen).astype(np.float64)
+    s1 = a1['score'].astype(np.float64)[:, p1_idx] / max_score[p1_idx]
+    s2 = a2['score'].astype(np.float64)[:, p2_idx] / max_score[p2_idx]
+    sums = np.round(s1, 2) + np.round(s2, 2)
+    # last max wins (stable sort + take-last in the reference)
+    best = sums.shape[1] - 1 - np.argmax(sums[:, ::-1], axis=1)
+
+    out_records = []
+    has_primer = np.zeros(len(records), dtype=bool)
+    for i, rec in enumerate(records):
+        b = int(best[i])
+        t1, t2, k1, k2, st1, st2 = pair_defs[b]
+        sc1 = float(a1['score'][i, t1]) / float(max_score[t1])
+        sc2 = float(a2['score'][i, t2]) / float(max_score[t2])
+        name1 = 'False' if sc1 < cfg.trim_threshold else k1 + st1
+        name2 = 'False' if sc2 < cfg.trim_threshold else k2 + st2
+        r1, r2 = round(sc1, 2), round(sc2, 2)
+        L = len(rec.sequence)
+        counters['starting_bases'] += L
+        seq, qual = rec.sequence, rec.quality
+        trimmed = 0
+        if not (name1 == 'False' and name2 == 'False'):
+            p2_space = min(L // 2, cfg.search_window)
+            tb = int(a1['target_begin'][i, t1])
+            te = L - p2_space + int(a2['target_end'][i, t2])
+            trimmed = tb + (L - te)
+            seq = seq[tb:te]
+            if qual:
+                qual = qual[tb:te]
+            has_primer[i] = True
+        counters['trimmed_bases'] += trimmed
+        if trimmed > 0:
+            counters['trimmed_reads'] += 1
+        counters[f'{name1}_{name2}'] += 1
+        new_name = f'{rec.name}.{r1}_{r2}.{name1}_{name2}'
+        out_records.append(FastxRecord(name=new_name, sequence=seq,
+                                       quality=qual, comment=rec.comment))
+    return out_records, has_primer, counters
+
+
+def run_file(path: str, panel: PrimerPanel, config: PipelineConfig,
+             backend: str | None = None) -> dict:
+    """Process one ``.filtered_junk.fq`` file, writing
+    ``{basename}.primers_labelled.fq`` and ``{basename}.no_primers.fq``
+    (reference find_reads_with_primers.py:99-113,120-133)."""
+    if 'filtered_junk' in path:
+        basename = path.replace('.filtered_junk.fq', '')
+    else:
+        basename = path.replace('.fa', '')
+    records = list(read_fastx(path))
+    out_records, has_primer, counters = label_and_chop(
+        records, panel, config, backend)
+    with open(f'{basename}.primers_labelled.fq', 'w') as out, \
+         open(f'{basename}.no_primers.fq', 'w') as out2:
+        for rec, hp in zip(out_records, has_primer):
+            (out if hp else out2).write(str(rec) + '\n')
+    if 'filtered_junk' in path and not config.keep_temp:
+        os.remove(path)
+    return dict(counters)
