@@ -1,0 +1,108 @@
+"""Reference genome loading and k-mer seed index (host-built, numpy).
+
+Replaces the reference pipeline's ``bwa index`` + FM-index seeding
+(/root/reference/fslr/main.py:125 ``bwa mem -k 11``,
+/root/reference/fslr/make_ref_mask.py:19) with a TPU-friendly design: a flat
+sorted k-mer -> positions table, replicated per host, that the device
+queries with pure gathers (ops/seed.py).  Seed length k mirrors bwa's
+``-k 11`` (config.AlignConfig.seed_k); k-mers containing N are excluded.
+
+Also provides the masked-reference builder (make_ref_mask.py:5-19
+semantics): one region per chromosome, N-padding before the region start,
+region sequence afterwards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from fslr_tpu.encode import encode
+from fslr_tpu.io.fastq import read_fastx
+
+
+@dataclasses.dataclass
+class Reference:
+    names: list[str]                 # contig names, FASTA order
+    lengths: np.ndarray              # (n_contigs,) int64
+    offsets: np.ndarray              # (n_contigs + 1,) int64 concat offsets
+    codes: np.ndarray                # (total_len,) uint8 concatenated 2bit+N
+
+    def contig_of(self, gpos):
+        """Map global concat positions -> (contig index, local pos)."""
+        ci = np.searchsorted(self.offsets, gpos, side='right') - 1
+        return ci, gpos - self.offsets[ci]
+
+
+@dataclasses.dataclass
+class SeedIndex:
+    k: int
+    counts: np.ndarray               # (4^k + 1,) int64 cumulative offsets
+    positions: np.ndarray            # (n_seeds,) int32/int64 global positions
+
+
+def load_reference(path: str) -> Reference:
+    names, parts = [], []
+    for rec in read_fastx(path):
+        names.append(rec.name)
+        parts.append(encode(rec.sequence))
+    lengths = np.array([len(p) for p in parts], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    codes = (np.concatenate(parts) if parts
+             else np.zeros(0, dtype=np.uint8))
+    return Reference(names=names, lengths=lengths, offsets=offsets,
+                     codes=codes)
+
+
+def build_seed_index(ref: Reference, k: int) -> SeedIndex:
+    codes = ref.codes.astype(np.int64)
+    n = len(codes) - k + 1
+    if n <= 0:
+        return SeedIndex(k=k, counts=np.zeros(4 ** k + 1, np.int64),
+                         positions=np.zeros(0, np.int32))
+    kmers = np.zeros(n, dtype=np.int64)
+    valid = np.ones(n, dtype=bool)
+    for p in range(k):
+        c = codes[p:p + n]
+        kmers = kmers * 4 + np.where(c < 4, c, 0)
+        valid &= c < 4
+    # exclude k-mers spanning contig boundaries
+    for off in ref.offsets[1:-1]:
+        lo = max(0, off - k + 1)
+        valid[lo:off] = False
+    pos = np.nonzero(valid)[0]
+    km = kmers[pos]
+    order = np.argsort(km, kind='stable')
+    positions = pos[order]
+    counts = np.zeros(4 ** k + 1, dtype=np.int64)
+    np.add.at(counts, km + 1, 1)
+    counts = np.cumsum(counts)
+    ptype = np.int32 if len(ref.codes) < 2 ** 31 else np.int64
+    return SeedIndex(k=k, counts=counts, positions=positions.astype(ptype))
+
+
+def write_masked_reference(mask_bed: str, out_path: str, ref_path: str):
+    """Masked-reference FASTA with the reference's exact layout
+    (make_ref_mask.py:5-19): per bed line ``chrom start end``, emit a contig
+    named ``chrom`` consisting of (start-1) Ns followed by ref[start:end]
+    (0-based half-open fetch, as pysam.FastaFile.fetch)."""
+    ref = load_reference(ref_path)
+    name_to_idx = {n: i for i, n in enumerate(ref.names)}
+    from fslr_tpu.encode import decode
+    with open(mask_bed) as f, open(out_path, 'w') as out:
+        for line in f:
+            if line.startswith('#'):
+                continue
+            fields = line.strip().split('\t')
+            if len(fields) < 3:
+                continue
+            chrom, start, end = fields[0], int(fields[1]), int(fields[2])
+            ci = name_to_idx[chrom]
+            lo = ref.offsets[ci]
+            seq = decode(ref.codes[lo + start:lo + end])
+            out.write(f'>{chrom}\n')
+            if start > 0:
+                out.write('N' * (start - 1))
+            out.write(seq)
+            out.write('\n')

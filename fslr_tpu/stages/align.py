@@ -1,0 +1,363 @@
+"""Alignment stage: seed -> band candidates -> banded extension -> selection.
+
+The bwa mem + dodi replacement (reference call sites
+/root/reference/fslr/main.py:121-171).  Per read batch:
+
+  1. device seeding of forward and reverse-complement strands against the
+     host-built k-mer index (ops/seed.py);
+  2. candidate diagonal bands filtered by seed support (min_chain_seeds /
+     min_band_span are this engine's analogs of bwa's chain filters);
+  3. banded affine extension of each candidate (ops/banded.py), forward
+     pass for (score, qend, rend) then a reversed-prefix pass for begins;
+  4. per-read split-alignment selection DP (ops/selection.py) with
+     optional region bias (dodi --bias/--include);
+  5. primary designation = max original score among selected
+     (collect_mapping_info.py:42-48 workaround semantics).
+
+Alignment records carry query coordinates in *record orientation* (the
+aligned strand's coordinates, as a SAM record's CIGAR clips would encode
+them), plus the strand flag, so the mapping-table stage can replicate the
+reference's strand-normalization math exactly.
+
+MAPQ divergence note: bwa's MAPQ model is not replicated; we report
+min(60, 60 * (s1 - s2) / s1) where s2 is the best overlapping unselected
+candidate score (0 when unique).  The reference pipeline does not filter
+on MAPQ, so downstream parity is unaffected.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from fslr_tpu.config import PipelineConfig
+from fslr_tpu.encode import batch_encode, bucket_length, encode, revcomp
+from fslr_tpu.index.reference import Reference, SeedIndex
+from fslr_tpu.ops import banded, seed, selection
+
+
+@dataclasses.dataclass
+class Alignments:
+    """Flat arrays over alignments (selected only unless noted)."""
+    read_idx: np.ndarray      # index into the input record list
+    chrom_idx: np.ndarray     # contig index into Reference.names
+    rstart: np.ndarray        # 0-based inclusive, contig-local
+    rend: np.ndarray          # 0-based inclusive
+    strand_rev: np.ndarray    # bool, True = reverse strand
+    qstart_o: np.ndarray      # record-orientation query start (0-based)
+    qend_o: np.ndarray        # record-orientation query end (exclusive)
+    qlen: np.ndarray          # full read length
+    score: np.ndarray         # alignment score (original, unbiased)
+    mapq: np.ndarray
+    is_primary: np.ndarray    # bool
+    overlaps_region: np.ndarray  # bool (all False when no --regions)
+
+    def __len__(self):
+        return len(self.read_idx)
+
+
+def _pad128(n):
+    return ((n + 127) // 128) * 128
+
+
+def _build_regions(regions_path, names):
+    """regions bed -> per-contig sorted interval arrays (pd.Interval
+    semantics in the reference are closed intervals; overlap test below
+    replicates Interval.overlaps for closed endpoints)."""
+    per = {}
+    if not regions_path:
+        return per
+    name_set = set(names)
+    with open(regions_path) as fh:
+        for line in fh:
+            f = line.strip().split('\t')
+            if len(f) < 3 or f[0] not in name_set:
+                continue
+            per.setdefault(f[0], []).append((int(f[1]), int(f[2])))
+    return {k: np.array(sorted(v)) for k, v in per.items()}
+
+
+def _overlaps_region(regions, chrom_name, start, end):
+    iv = regions.get(chrom_name)
+    if iv is None or len(iv) == 0:
+        return False
+    # closed-interval overlap (pd.Interval default closed='right'; the
+    # reference builds Interval(left=start, right=end) default closed
+    # 'right' and t=(start+1-based, end)): overlap iff not disjoint.
+    return bool(np.any((iv[:, 0] < end) & (start < iv[:, 1])))
+
+
+def align_batch(seqs: list[str], ref: Reference, sidx: SeedIndex,
+                config: PipelineConfig, regions_path: str | None = None,
+                backend: str | None = None) -> Alignments:
+    """Align a list of read sequences.  Returns selected alignments only."""
+    acfg = config.align
+    k = sidx.k
+    genome = ref.codes
+    G = len(genome)
+    counts = sidx.counts
+    positions = sidx.positions
+    regions = _build_regions(regions_path, ref.names)
+    contig_starts = ref.offsets[:-1]
+    contig_ends = ref.offsets[1:]
+
+    import jax.numpy as jnp
+    genome_j = jnp.asarray(genome)
+    counts_j = jnp.asarray(counts.astype(np.int32))
+    pos_j = jnp.asarray(positions.astype(np.int32))
+
+    # ---- bucket reads by length ---------------------------------------
+    buckets: dict[int, list[int]] = {}
+    for i, s in enumerate(seqs):
+        L = bucket_length(max(len(s), k + 1), config.batch.length_buckets)
+        buckets.setdefault(L, []).append(i)
+
+    cand_rows = []   # (read_idx, strand_rev, diag_anchor, count)
+    enc_fwd: dict[int, np.ndarray] = {}
+    for L, idxs in sorted(buckets.items()):
+        S = max(1, (L - k) // acfg.seed_stride + 1)
+        step = max(1, min(config.batch.batch_size,
+                          (1 << 23) // max(S * acfg.max_kmer_occ, 1)))
+        for off in range(0, len(idxs), step):
+            part = idxs[off:off + step]
+            fwd = [encode(seqs[i]) for i in part]
+            for i, f in zip(part, fwd):
+                enc_fwd[i] = f
+            rc = [revcomp(f) for f in fwd]
+            both = fwd + rc
+            arr = np.full((len(both), L), 4, dtype=np.uint8)
+            lens = np.zeros(len(both), dtype=np.int32)
+            for r, c in enumerate(both):
+                arr[r, :len(c)] = c[:L]
+                lens[r] = min(len(c), L)
+            res = seed.seed_candidates(
+                jnp.asarray(arr), jnp.asarray(lens), counts_j, pos_j,
+                k=k, stride=acfg.seed_stride,
+                occ_drop=1000, band_w=acfg.band_width // 2,
+                max_cand=acfg.max_candidates, S=S, C=acfg.max_kmer_occ)
+            res = {kk: np.asarray(v) for kk, v in res.items()}
+            nb = len(part)
+            for r in range(len(both)):
+                ridx = part[r % nb]
+                strand_rev = r >= nb
+                for c in range(acfg.max_candidates):
+                    if not res['valid'][r, c]:
+                        continue
+                    if res['count'][r, c] < acfg.min_chain_seeds:
+                        continue
+                    span = res['qmax'][r, c] - res['qmin'][r, c]
+                    if span < acfg.min_band_span:
+                        continue
+                    cand_rows.append((ridx, strand_rev,
+                                      int(res['diag'][r, c]),
+                                      int(res['count'][r, c])))
+
+    if not cand_rows:
+        return Alignments(*[np.zeros(0, dt) for dt in
+                            (np.int32,) * 4 + (bool,) + (np.int32,) * 4
+                            + (np.int32,) + (bool, bool)])
+
+    # ---- extension batches, grouped by read-length bucket -------------
+    all_aln = []      # dicts per candidate alignment
+    by_bucket: dict[int, list[int]] = {}
+    for ci, (ridx, srev, dga, cnt) in enumerate(cand_rows):
+        L = _pad128(max(len(seqs[ridx]), 1))
+        by_bucket.setdefault(L, []).append(ci)
+
+    for L, cidxs in sorted(by_bucket.items()):
+        N = len(cidxs)
+        WL = L + 256
+        q = np.full((N, L), 4, dtype=np.uint8)
+        qlens = np.zeros(N, dtype=np.int32)
+        ws = np.zeros(N, dtype=np.int64)
+        cmin = np.zeros(N, dtype=np.int64)
+        cmax = np.zeros(N, dtype=np.int64)
+        for r, ci in enumerate(cidxs):
+            ridx, srev, dga, cnt = cand_rows[ci]
+            f = enc_fwd[ridx]
+            codes = revcomp(f) if srev else f
+            q[r, :len(codes)] = codes[:L]
+            qlens[r] = min(len(codes), L)
+            w0 = dga - banded.BW // 2
+            ws[r] = w0
+            ci_ref = np.searchsorted(ref.offsets, dga + qlens[r] // 2,
+                                     side='right') - 1
+            ci_ref = min(max(ci_ref, 0), len(ref.names) - 1)
+            cmin[r] = contig_starts[ci_ref]
+            cmax[r] = contig_ends[ci_ref]
+
+        idx = ws[:, None] + np.arange(WL)[None, :]
+        valid = (idx >= cmin[:, None]) & (idx < cmax[:, None]) \
+            & (idx >= 0) & (idx < G)
+        w = np.where(valid, genome[np.clip(idx, 0, G - 1)], 4).astype(np.uint8)
+
+        score, qend, lane = banded.banded_sw(q, w, qlens, acfg.scoring,
+                                             backend=backend)
+        score = np.asarray(score)
+        qend = np.asarray(qend)
+        lane = np.asarray(lane)
+        rend = ws + qend + lane
+
+        # reverse pass for begins
+        rws = rend + (banded.BW - 1 - lane)
+        ridx2 = rws[:, None] - np.arange(WL)[None, :]
+        valid2 = (ridx2 >= cmin[:, None]) & (ridx2 < cmax[:, None]) \
+            & (ridx2 >= 0) & (ridx2 < G)
+        w2 = np.where(valid2, genome[np.clip(ridx2, 0, G - 1)],
+                      4).astype(np.uint8)
+        q2 = np.full((N, L), 4, dtype=np.uint8)
+        for r in range(N):
+            e = int(qend[r])
+            q2[r, :e + 1] = q[r, :e + 1][::-1]
+        q2lens = qend + 1
+        score2, qend2, lane2 = banded.banded_sw(q2, w2, q2lens, acfg.scoring,
+                                                backend=backend)
+        score2 = np.asarray(score2)
+        qbegin = qend - np.asarray(qend2)
+        rbegin = rws - (np.asarray(qend2) + np.asarray(lane2))
+
+        for r, ci in enumerate(cidxs):
+            ridx, srev, dga, cnt = cand_rows[ci]
+            if score[r] <= 0:
+                continue
+            Lq = len(seqs[ridx])
+            cidx_ref = int(np.searchsorted(ref.offsets, rbegin[r],
+                                           side='right') - 1)
+            cidx_ref = min(max(cidx_ref, 0), len(ref.names) - 1)
+            lo = int(ref.offsets[cidx_ref])
+            all_aln.append(dict(
+                read_idx=ridx, strand_rev=srev,
+                chrom_idx=cidx_ref,
+                rstart=int(rbegin[r]) - lo,
+                rend=int(rend[r]) - lo,
+                qstart_o=int(qbegin[r]),
+                qend_o=int(qend[r]) + 1,
+                qlen=Lq,
+                score=int(score[r])))
+
+    if not all_aln:
+        return Alignments(*[np.zeros(0, dt) for dt in
+                            (np.int32,) * 4 + (bool,) + (np.int32,) * 4
+                            + (np.int32,) + (bool, bool)])
+
+    # ---- dedup identical alignments -----------------------------------
+    seen = set()
+    uniq = []
+    for a in all_aln:
+        key = (a['read_idx'], a['strand_rev'], a['chrom_idx'], a['rstart'],
+               a['rend'], a['qstart_o'], a['qend_o'])
+        if key in seen:
+            continue
+        seen.add(key)
+        uniq.append(a)
+    all_aln = uniq
+
+    # ---- selection DP per read ----------------------------------------
+    reads = sorted({a['read_idx'] for a in all_aln})
+    rmap = {r: i for i, r in enumerate(reads)}
+    C = min(64, max(max(sum(1 for a in all_aln if a['read_idx'] == r)
+                        for r in reads), 1))
+    B = len(reads)
+    qs = np.zeros((B, C), np.int32)
+    qe = np.zeros((B, C), np.int32)
+    sc = np.zeros((B, C), np.float32)
+    bias = np.ones((B, C), np.float32)
+    vmask = np.zeros((B, C), bool)
+    slots: dict[int, list[int]] = {r: [] for r in reads}
+    slot_of = []
+    for ai, a in enumerate(all_aln):
+        b = rmap[a['read_idx']]
+        lst = slots[a['read_idx']]
+        if len(lst) >= C:
+            slot_of.append(None)        # overflow: drop lowest-priority
+            continue
+        cslot = len(lst)
+        lst.append(ai)
+        slot_of.append((b, cslot))
+        # query overlap coordinates on the FORWARD read
+        if a['strand_rev']:
+            fs = a['qlen'] - a['qend_o']
+            fe = a['qlen'] - a['qstart_o']
+        else:
+            fs, fe = a['qstart_o'], a['qend_o']
+        qs[b, cslot] = fs
+        qe[b, cslot] = fe
+        sc[b, cslot] = a['score']
+        vmask[b, cslot] = True
+        if regions:
+            chrom_name = ref.names[a['chrom_idx']]
+            if _overlaps_region(regions, chrom_name, a['rstart'] + 1,
+                                a['rend'] + 1):
+                bias[b, cslot] = acfg.bias
+                a['overlaps_region'] = True
+
+    chosen = np.asarray(selection.select_alignments(
+        qs, qe, sc, vmask, ol_cost=acfg.ol_cost,
+        max_overlap=acfg.max_overlap,
+        bias=bias if regions else None,
+        min_score=acfg.min_selected_score))
+
+    sel = []
+    for ai, a in enumerate(all_aln):
+        so = slot_of[ai]
+        if so is None:
+            continue
+        b, cslot = so
+        if chosen[b, cslot]:
+            sel.append(a)
+
+    # primary = max original score per read; mapq from best overlapping
+    # unselected candidate
+    out = Alignments(
+        read_idx=np.array([a['read_idx'] for a in sel], np.int32),
+        chrom_idx=np.array([a['chrom_idx'] for a in sel], np.int32),
+        rstart=np.array([a['rstart'] for a in sel], np.int32),
+        rend=np.array([a['rend'] for a in sel], np.int32),
+        strand_rev=np.array([a['strand_rev'] for a in sel], bool),
+        qstart_o=np.array([a['qstart_o'] for a in sel], np.int32),
+        qend_o=np.array([a['qend_o'] for a in sel], np.int32),
+        qlen=np.array([a['qlen'] for a in sel], np.int32),
+        score=np.array([a['score'] for a in sel], np.int32),
+        mapq=np.zeros(len(sel), np.int32),
+        is_primary=np.zeros(len(sel), bool),
+        overlaps_region=np.array([a.get('overlaps_region', False)
+                                  for a in sel], bool),
+    )
+    for r in reads:
+        mask = out.read_idx == r
+        if not mask.any():
+            continue
+        scores = out.score[mask]
+        pri_local = int(np.argmax(scores))
+        idxs = np.nonzero(mask)[0]
+        out.is_primary[idxs[pri_local]] = True
+    # mapq
+    unsel_by_read: dict[int, list[dict]] = {}
+    for ai, a in enumerate(all_aln):
+        so = slot_of[ai]
+        if so is None or not chosen[so[0]][so[1]]:
+            unsel_by_read.setdefault(a['read_idx'], []).append(a)
+    for i in range(len(out)):
+        r = int(out.read_idx[i])
+        fs, fe = _fwd_span(out, i)
+        s2 = 0
+        for a in unsel_by_read.get(r, []):
+            if a['strand_rev']:
+                afs, afe = a['qlen'] - a['qend_o'], a['qlen'] - a['qstart_o']
+            else:
+                afs, afe = a['qstart_o'], a['qend_o']
+            ov = min(fe, afe) - max(fs, afs)
+            if ov > 0.5 * (fe - fs):
+                s2 = max(s2, a['score'])
+        s1 = int(out.score[i])
+        out.mapq[i] = 0 if s1 <= 0 else int(
+            min(60, max(0, round(60.0 * (s1 - s2) / s1))))
+    return out
+
+
+def _fwd_span(out: Alignments, i: int):
+    if out.strand_rev[i]:
+        return (int(out.qlen[i] - out.qend_o[i]),
+                int(out.qlen[i] - out.qstart_o[i]))
+    return int(out.qstart_o[i]), int(out.qend_o[i])

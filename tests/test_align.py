@@ -1,0 +1,212 @@
+"""Aligner tests: banded kernel, seeding, selection DP, end-to-end stage."""
+
+import numpy as np
+import pytest
+
+from fslr_tpu.config import AlignConfig, PipelineConfig, ScoringConfig
+from fslr_tpu.encode import decode, encode, revcomp_str
+from fslr_tpu.index.reference import (Reference, build_seed_index,
+                                      load_reference)
+from fslr_tpu.ops import banded, selection
+from fslr_tpu.stages import align as align_stage
+from tests.oracles import mutate, random_seq, sw_oracle
+
+BWA_SC = ScoringConfig(gap_open_is_first_base=False)
+CONFIG = PipelineConfig()
+
+
+def _mk_ref(rng, sizes):
+    names = [f'chr{i+1}' for i in range(len(sizes))]
+    parts = [random_seq(rng, s) for s in sizes]
+    lengths = np.array([len(p) for p in parts], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    return Reference(names=names, lengths=lengths, offsets=offsets,
+                     codes=np.concatenate(parts))
+
+
+# --------------------------- banded kernel ---------------------------------
+
+@pytest.mark.parametrize('backend', ['jax', 'pallas_interpret'])
+def test_banded_matches_unbanded(backend):
+    """When the alignment stays inside the band, banded == full SW."""
+    rng = np.random.default_rng(0)
+    Lq = 256
+    N = 4
+    q = np.full((N, Lq), 4, np.uint8)
+    w = np.full((N, Lq + 256), 4, np.uint8)
+    qlens = np.zeros(N, np.int32)
+    for r in range(N):
+        read = random_seq(rng, 200)
+        seg = mutate(rng, read, sub=0.05, indel=0.02)
+        win = np.concatenate([random_seq(rng, 64), seg,
+                              random_seq(rng, Lq + 256 - 64 - len(seg))])
+        q[r, :len(read)] = read
+        qlens[r] = len(read)
+        w[r] = win[:Lq + 256]
+    score, qend, lane = banded.banded_sw(q, w, qlens, BWA_SC, backend=backend)
+    for r in range(N):
+        es, eti, eqj = sw_oracle(q[r, :qlens[r]], w[r, :qlens[r] + 128],
+                                 fg=7, ext=2)
+        # oracle aligns q against the band's reachable window; banded best
+        # must match the full DP when drift < 64
+        assert float(score[r]) == es, (r, float(score[r]), es)
+        assert int(qend[r]) == eqj
+        assert int(qend[r]) + int(lane[r]) == eti  # rend consistency
+
+
+def test_banded_exact_segment():
+    rng = np.random.default_rng(1)
+    read = random_seq(rng, 300)
+    w = np.concatenate([random_seq(rng, 64), read, random_seq(rng, 300)])
+    q = read[None, :].copy()
+    q = np.pad(q, ((0, 0), (0, 384 - 300)), constant_values=4)
+    wv = np.pad(w[None, :384 + 256], ((0, 0), (0, 0)))
+    score, qend, lane = banded.banded_sw(
+        q, wv[:, :384 + 256], np.array([300], np.int32), BWA_SC,
+        backend='jax')
+    assert float(score[0]) == 600.0
+    assert int(qend[0]) == 299
+    assert int(qend[0]) + int(lane[0]) == 299 + 64  # rend = planted offset+299
+
+
+# --------------------------- selection DP ----------------------------------
+
+def _select_oracle(cands, ol_cost=2, max_overlap=50000, min_score=21):
+    """Brute-force best chain by DP over all subsets orderings (small n)."""
+    cands = [c for c in cands if c[2] >= min_score]
+    n = len(cands)
+    best_val, best_set = 0.0, []
+    import itertools
+    for r in range(1, n + 1):
+        for sub in itertools.combinations(range(n), r):
+            cs = sorted((cands[i] for i in sub), key=lambda c: c[1])
+            ok = True
+            val = 0.0
+            for i, c in enumerate(cs):
+                val += c[2] * (c[3] if len(c) > 3 else 1.0)
+                if i > 0:
+                    ov = max(0, cs[i - 1][1] - c[0])
+                    if ov > max_overlap:
+                        ok = False
+                        break
+                    val -= ol_cost * ov
+            # chain order must be consistent: sorted by qend; overlaps only
+            # between consecutive — approximate oracle for chain-like sets
+            if ok and val > best_val:
+                best_val = val
+                best_set = sorted(sub)
+    return best_val, best_set
+
+
+def test_selection_simple_chain():
+    # two disjoint segments + a low-scoring decoy overlapping both
+    qs = np.array([[0, 800, 100]])
+    qe = np.array([[800, 1400, 1300]])
+    sc = np.array([[1500.0, 1100.0, 300.0]])
+    v = np.ones((1, 3), bool)
+    chosen = np.asarray(selection.select_alignments(qs, qe, sc, v))
+    assert chosen[0].tolist() == [True, True, False]
+
+
+def test_selection_overlap_cost():
+    # overlapping pair: keep both only if combined beats single minus cost
+    qs = np.array([[0, 500], [0, 900]])
+    qe = np.array([[1000, 1500], [1000, 1100]])
+    sc = np.array([[900.0, 800.0], [900.0, 150.0]])
+    v = np.ones((2, 2), bool)
+    chosen = np.asarray(selection.select_alignments(qs, qe, sc, v))
+    # row 0: overlap 500 -> cost 1000; 900+800-1000=700 < 900 -> keep best
+    assert chosen[0].tolist() == [True, False]
+    # row 1: overlap 100 -> cost 200; 900+150-200=850 < 900? no: 850 < 900
+    assert chosen[1].tolist() == [True, False]
+
+
+def test_selection_min_score():
+    qs = np.array([[0, 800]])
+    qe = np.array([[800, 1400]])
+    sc = np.array([[1500.0, 20.0]])        # second below dodi -u 21
+    v = np.ones((1, 2), bool)
+    chosen = np.asarray(selection.select_alignments(qs, qe, sc, v))
+    assert chosen[0].tolist() == [True, False]
+
+
+def test_selection_bias():
+    # two mutually exclusive (full-overlap) candidates; bias flips winner
+    qs = np.array([[0, 0]])
+    qe = np.array([[1000, 1000]])
+    sc = np.array([[1000.0, 980.0]])
+    v = np.ones((1, 2), bool)
+    bias = np.array([[1.0, 1.05]])
+    chosen = np.asarray(selection.select_alignments(
+        qs, qe, sc, v, bias=bias, max_overlap=50000))
+    assert chosen[0].tolist() == [False, True]
+
+
+# --------------------------- end-to-end stage ------------------------------
+
+@pytest.fixture(scope='module')
+def ref_and_index():
+    rng = np.random.default_rng(42)
+    ref = _mk_ref(rng, [20000, 20000])
+    sidx = build_seed_index(ref, k=11)
+    return ref, sidx
+
+
+def test_align_exact_read(ref_and_index):
+    ref, sidx = ref_and_index
+    read = decode(ref.codes[3000:4000])
+    out = align_stage.align_batch([read], ref, sidx, CONFIG, backend='jax')
+    assert len(out) == 1
+    assert ref.names[out.chrom_idx[0]] == 'chr1'
+    assert abs(int(out.rstart[0]) - 3000) <= 2
+    assert abs(int(out.rend[0]) - 3999) <= 2
+    assert not out.strand_rev[0]
+    assert out.is_primary[0]
+    assert out.score[0] >= 1900
+
+
+def test_align_reverse_strand(ref_and_index):
+    ref, sidx = ref_and_index
+    read = revcomp_str(decode(ref.codes[25000:26000]))  # chr2 local 5000
+    out = align_stage.align_batch([read], ref, sidx, CONFIG, backend='jax')
+    assert len(out) == 1
+    assert ref.names[out.chrom_idx[0]] == 'chr2'
+    assert out.strand_rev[0]
+    assert abs(int(out.rstart[0]) - 5000) <= 2
+
+
+def test_align_fusion_read(ref_and_index):
+    ref, sidx = ref_and_index
+    segA = decode(ref.codes[5000:5800])            # chr1
+    segB = decode(ref.codes[20000 + 10000:20000 + 10600])  # chr2
+    out = align_stage.align_batch([segA + segB], ref, sidx, CONFIG,
+                                  backend='jax')
+    assert len(out) == 2
+    chroms = sorted(ref.names[c] for c in out.chrom_idx)
+    assert chroms == ['chr1', 'chr2']
+    spans = sorted((align_stage._fwd_span(out, i)) for i in range(2))
+    assert abs(spans[0][0] - 0) <= 5 and abs(spans[0][1] - 800) <= 5
+    assert abs(spans[1][0] - 800) <= 5 and abs(spans[1][1] - 1400) <= 5
+    assert out.is_primary.sum() == 1
+
+
+def test_align_mutated_read(ref_and_index):
+    ref, sidx = ref_and_index
+    rng = np.random.default_rng(9)
+    seg = mutate(rng, ref.codes[8000:9500], sub=0.05, indel=0.02)
+    out = align_stage.align_batch([decode(seg)], ref, sidx, CONFIG,
+                                  backend='jax')
+    assert len(out) >= 1
+    pri = np.nonzero(out.is_primary)[0][0]
+    assert ref.names[out.chrom_idx[pri]] == 'chr1'
+    assert abs(int(out.rstart[pri]) - 8000) <= 20
+
+
+def test_align_no_hit(ref_and_index):
+    ref, sidx = ref_and_index
+    rng = np.random.default_rng(10)
+    out = align_stage.align_batch([decode(random_seq(rng, 500))], ref, sidx,
+                                  CONFIG, backend='jax')
+    # random 500bp vs 40kb random ref: no confident alignment expected
+    for i in range(len(out)):
+        assert out.score[i] < 100
