@@ -1,0 +1,247 @@
+"""Self-contained BAM writing/reading (BGZF over zlib; no htslib).
+
+Replaces the reference pipeline's samtools/pysam edge (SURVEY.md N4, N8):
+the ``{name}.bwa_dodi.bam`` artifact (/root/reference/fslr/main.py:139,166)
+is produced directly from the aligner's selected alignments, and
+``cluster.get_chromosome_lengths`` (/root/reference/fslr/cluster.py:173-175)
+reads contig lengths back from the header on --skip-alignment resume.
+
+Conventions:
+  * primary alignments carry SEQ (+QUAL when known) and soft clips;
+  * non-primary selected split alignments are flagged supplementary (2048)
+    with hard clips, so ``infer_read_length`` (CIGAR including hard clips)
+    still recovers the full read length as collect_mapping_info expects
+    (collect_mapping_info.py:7-16);
+  * AS:i carries the alignment score.
+
+CIGAR fidelity: until the traceback kernel lands, CIGARs are structurally
+valid approximations — clips are exact (query coordinates are exact), and
+the aligned span is written as M blocks with a single centred I/D making
+the reference span consistent.  qstart/qend/rstart/rend/score derived from
+these CIGARs are exact; per-base alignment detail is not.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import struct
+import zlib
+
+_SEQ_CODE = {c: i for i, c in enumerate('=ACMGRSVTWYHKDBN')}
+_SEQ_DECODE = '=ACMGRSVTWYHKDBN'
+_CIGAR_OPS = 'MIDNSHP=X'
+_CIGAR_CODE = {c: i for i, c in enumerate(_CIGAR_OPS)}
+
+BGZF_EOF = bytes.fromhex(
+    '1f8b08040000000000ff0600424302001b0003000000000000000000')
+
+
+def _bgzf_block(data: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    comp = co.compress(data) + co.flush()
+    # block layout: 12 fixed + 6 extra (XLEN=6) + comp + crc(4) + isize(4)
+    total = 12 + 6 + len(comp) + 8
+    header = struct.pack('<BBBBIBBHBBHH', 0x1f, 0x8b, 8, 4, 0, 0, 0xff, 6,
+                         ord('B'), ord('C'), 2, total - 1)
+    footer = struct.pack('<II', zlib.crc32(data) & 0xffffffff,
+                         len(data) & 0xffffffff)
+    return header + comp + footer
+
+
+class BgzfWriter:
+    def __init__(self, path: str):
+        self.fh = open(path, 'wb')
+        self.buf = bytearray()
+
+    def write(self, data: bytes):
+        self.buf += data
+        while len(self.buf) >= 60000:
+            self.fh.write(_bgzf_block(bytes(self.buf[:60000])))
+            del self.buf[:60000]
+
+    def close(self):
+        if self.buf:
+            self.fh.write(_bgzf_block(bytes(self.buf)))
+        self.fh.write(BGZF_EOF)
+        self.fh.close()
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+@dataclasses.dataclass
+class BamRecord:
+    qname: str
+    flag: int
+    ref_id: int          # -1 = unmapped
+    pos: int             # 0-based leftmost
+    mapq: int
+    cigar: list[tuple[int, str]]     # [(length, op), ...]
+    seq: str             # '' = absent ('*')
+    qual: str | None
+    tags: dict[str, int]
+
+    @property
+    def is_reverse(self):
+        return bool(self.flag & 16)
+
+    def infer_read_length(self) -> int:
+        return sum(n for n, op in self.cigar if op in 'MIS=XH')
+
+    def reference_span(self) -> int:
+        return sum(n for n, op in self.cigar if op in 'MDN=X')
+
+
+def encode_record(r: BamRecord) -> bytes:
+    name = r.qname.encode() + b'\0'
+    cigar = b''.join(struct.pack('<I', (n << 4) | _CIGAR_CODE[op])
+                     for n, op in r.cigar)
+    l_seq = len(r.seq)
+    seq_bytes = bytearray((l_seq + 1) // 2)
+    for i, ch in enumerate(r.seq):
+        code = _SEQ_CODE.get(ch.upper(), 15)
+        if i % 2 == 0:
+            seq_bytes[i // 2] = code << 4
+        else:
+            seq_bytes[i // 2] |= code
+    if r.qual:
+        qual = bytes((min(max(ord(c) - 33, 0), 93) for c in r.qual))
+    else:
+        qual = b'\xff' * l_seq
+    tags = b''
+    for tag, val in r.tags.items():
+        tags += tag.encode() + b'i' + struct.pack('<i', val)
+    end = r.pos + max(r.reference_span(), 1)
+    fixed = struct.pack(
+        '<iiBBHHHiiii', r.ref_id, r.pos, len(name), r.mapq,
+        _reg2bin(max(r.pos, 0), max(end, 1)), len(r.cigar), r.flag, l_seq,
+        -1, -1, 0)
+    body = fixed + name + cigar + bytes(seq_bytes) + qual + tags
+    return struct.pack('<I', len(body)) + body
+
+
+def write_bam(path: str, names: list[str], lengths, records,
+              sort_by_coord: bool = True):
+    header_text = ''.join(
+        f'@SQ\tSN:{n}\tLN:{int(l)}\n' for n, l in zip(names, lengths))
+    header_text = '@HD\tVN:1.6\tSO:coordinate\n' + header_text \
+        + '@PG\tID:fslr-tpu\tPN:fslr-tpu\n'
+    if sort_by_coord:
+        records = sorted(records, key=lambda r: (
+            r.ref_id if r.ref_id >= 0 else 1 << 30, r.pos))
+    w = BgzfWriter(path)
+    ht = header_text.encode()
+    w.write(b'BAM\x01' + struct.pack('<i', len(ht)) + ht
+            + struct.pack('<i', len(names)))
+    for n, l in zip(names, lengths):
+        nb = n.encode() + b'\0'
+        w.write(struct.pack('<i', len(nb)) + nb + struct.pack('<i', int(l)))
+    for r in records:
+        w.write(encode_record(r))
+    w.close()
+
+
+def read_bam(path: str):
+    """Returns (names, lengths, records iterator materialized as list)."""
+    with gzip.open(path, 'rb') as fh:
+        data = fh.read()
+    if data[:4] != b'BAM\x01':
+        raise ValueError(f'{path}: not BAM')
+    off = 4
+    l_text, = struct.unpack_from('<i', data, off); off += 4
+    off += l_text
+    n_ref, = struct.unpack_from('<i', data, off); off += 4
+    names, lengths = [], []
+    for _ in range(n_ref):
+        l_name, = struct.unpack_from('<i', data, off); off += 4
+        names.append(data[off:off + l_name - 1].decode()); off += l_name
+        l_ref, = struct.unpack_from('<i', data, off); off += 4
+        lengths.append(l_ref)
+    records = []
+    n = len(data)
+    while off < n:
+        block_size, = struct.unpack_from('<I', data, off); off += 4
+        end = off + block_size
+        (ref_id, pos, l_rn, mapq, _bin, n_cig, flag, l_seq, _nr, _np,
+         _tl) = struct.unpack_from('<iiBBHHHiiii', data, off)
+        p = off + 32
+        qname = data[p:p + l_rn - 1].decode(); p += l_rn
+        cigar = []
+        for _ in range(n_cig):
+            v, = struct.unpack_from('<I', data, p); p += 4
+            cigar.append((v >> 4, _CIGAR_OPS[v & 15]))
+        seq_chars = []
+        for i in range(l_seq):
+            b = data[p + i // 2]
+            code = (b >> 4) if i % 2 == 0 else (b & 15)
+            seq_chars.append(_SEQ_DECODE[code])
+        p += (l_seq + 1) // 2
+        qual_raw = data[p:p + l_seq]; p += l_seq
+        qual = (None if (l_seq == 0 or qual_raw[:1] == b'\xff')
+                else ''.join(chr(q + 33) for q in qual_raw))
+        tags = {}
+        while p < end:
+            tag = data[p:p + 2].decode(); typ = chr(data[p + 2]); p += 3
+            if typ == 'i':
+                tags[tag], = struct.unpack_from('<i', data, p); p += 4
+            elif typ in 'cC':
+                tags[tag] = data[p]; p += 1
+            elif typ in 'sS':
+                tags[tag], = struct.unpack_from('<h', data, p); p += 2
+            elif typ == 'A':
+                tags[tag] = chr(data[p]); p += 1
+            elif typ == 'f':
+                tags[tag], = struct.unpack_from('<f', data, p); p += 4
+            elif typ == 'Z':
+                z = data.index(b'\0', p)
+                tags[tag] = data[p:z].decode(); p = z + 1
+            else:
+                break  # unsupported array types: stop tag parsing
+        records.append(BamRecord(qname=qname, flag=flag, ref_id=ref_id,
+                                 pos=pos, mapq=mapq, cigar=cigar,
+                                 seq=''.join(seq_chars), qual=qual,
+                                 tags=tags))
+        off = end
+    return names, lengths, records
+
+
+def get_chromosome_lengths(bam_path: str) -> dict[str, int]:
+    """Parity with cluster.get_chromosome_lengths (cluster.py:173-175)."""
+    names, lengths, _ = read_bam(bam_path)
+    return dict(zip(names, lengths))
+
+
+def approx_cigar(qstart: int, qend: int, qlen: int, rspan: int,
+                 hard_clips: bool) -> list[tuple[int, str]]:
+    """Structurally valid CIGAR for [qstart, qend) of a qlen read covering
+    rspan reference bases (see module docstring)."""
+    clip = 'H' if hard_clips else 'S'
+    qspan = qend - qstart
+    m = min(qspan, rspan)
+    ops: list[tuple[int, str]] = []
+    if qstart > 0:
+        ops.append((qstart, clip))
+    if qspan == rspan:
+        ops.append((m, 'M'))
+    else:
+        m1 = m // 2
+        m2 = m - m1
+        mid = ((qspan - m, 'I') if qspan > rspan else (rspan - m, 'D'))
+        parts = [(m1, 'M'), mid, (m2, 'M')]
+        ops += [p for p in parts if p[0] > 0]
+    if qlen - qend > 0:
+        ops.append((qlen - qend, clip))
+    return ops

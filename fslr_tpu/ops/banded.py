@@ -194,8 +194,9 @@ def _banded_jax(q, w, qlens, *, match, mismatch, fg, ext):
             roll_fn)
         return (H, E, bestH, bestI), None
 
-    # precompute sliding windows: wsl[i] = w[:, i:i+BW]
-    wins = jnp.stack([w[:, i:i + BW] for i in range(Lq)], axis=0)
+    # precompute sliding windows with one gather: wins[i] = w[:, i:i+BW]
+    gidx = jnp.arange(Lq)[:, None] + jnp.arange(BW)[None, :]
+    wins = jnp.transpose(w[:, gidx], (1, 0, 2))
     zeros = jnp.zeros((N, BW), jnp.float32)
     init = (zeros, jnp.full((N, BW), NEG), jnp.full((N, BW), NEG), zeros)
     (H, E, bestH, bestI), _ = jax.lax.scan(

@@ -1,0 +1,114 @@
+"""Batched greedy Jaccard similarity over breakpoint-interval lists.
+
+Replicates ``overall_jaccard_similarity``
+(/root/reference/fslr/cluster.py:140-170) as a fixed-shape device kernel:
+for each candidate read pair, intervals of list 1 are matched greedily (in
+list order) to the FIRST unused interval of list 2 on the same chromosome
+with reciprocal overlap >= ``percentage`` — reciprocal overlap divides the
+reference-coordinate overlap by each interval's *query* aln_size, an
+intentional quirk of the reference (cluster.py:133-136) that we preserve.
+
+jaccard = intersection / (len1 + len2 - intersection).
+
+Lists are padded to M slots; pairs whose lists exceed M are flagged so the
+caller can fall back to an exact host computation (rare: lists are reads'
+interior alignment counts).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=('M',))
+def _jaccard_impl(c1, s1, e1, z1, v1, c2, s2, e2, z2, v2, len1, len2, pct,
+                  M):
+    N = c1.shape[0]
+    used = jnp.zeros((N, M), jnp.bool_)
+    inter = jnp.zeros(N, jnp.int32)
+
+    def body(i, carry):
+        used, inter = carry
+        ci = c1[:, i][:, None]
+        si = s1[:, i][:, None].astype(jnp.float32)
+        ei = e1[:, i][:, None].astype(jnp.float32)
+        zi = z1[:, i][:, None]
+        vi = v1[:, i][:, None]
+        ov = jnp.maximum(
+            0.0, jnp.minimum(ei, e2.astype(jnp.float32))
+            - jnp.maximum(si, s2.astype(jnp.float32)))
+        rec = jnp.minimum(ov / jnp.maximum(zi, 1e-9),
+                          ov / jnp.maximum(z2, 1e-9))
+        match = (vi & v2 & ~used & (ci == c2) & (rec >= pct))
+        any_m = jnp.any(match, axis=1)
+        jm = jnp.argmax(match, axis=1)          # first True
+        onehot = jnp.arange(M)[None, :] == jm[:, None]
+        used = used | (onehot & any_m[:, None])
+        inter = inter + any_m.astype(jnp.int32)
+        return used, inter
+
+    used, inter = jax.lax.fori_loop(0, M, body, (used, inter))
+    union = len1 + len2 - inter
+    j = jnp.where(union > 0, inter.astype(jnp.float32)
+                  / jnp.maximum(union, 1).astype(jnp.float32), 0.0)
+    return j, inter
+
+
+def jaccard_pairs(lists1, lists2, percentage: float, M: int = 32):
+    """lists1/lists2: python lists (len N) of per-read interval tuples
+    (chrom, start, end, aln_size).  Returns (j, n_i) numpy arrays; pairs
+    with lists longer than M are computed exactly on host."""
+    import numpy as np
+    N = len(lists1)
+    if N == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32)
+    c1 = np.zeros((N, M), np.int32); s1 = np.zeros((N, M), np.int32)
+    e1 = np.zeros((N, M), np.int32); z1 = np.zeros((N, M), np.float32)
+    v1 = np.zeros((N, M), bool)
+    c2 = np.zeros((N, M), np.int32); s2 = np.zeros((N, M), np.int32)
+    e2 = np.zeros((N, M), np.int32); z2 = np.zeros((N, M), np.float32)
+    v2 = np.zeros((N, M), bool)
+    len1 = np.zeros(N, np.int32); len2 = np.zeros(N, np.int32)
+    overflow = []
+    for n, (l1, l2) in enumerate(zip(lists1, lists2)):
+        len1[n] = len(l1); len2[n] = len(l2)
+        if len(l1) > M or len(l2) > M:
+            overflow.append(n)
+            continue
+        for i, (c, s, e, z) in enumerate(l1):
+            c1[n, i], s1[n, i], e1[n, i], z1[n, i], v1[n, i] = c, s, e, z, 1
+        for i, (c, s, e, z) in enumerate(l2):
+            c2[n, i], s2[n, i], e2[n, i], z2[n, i], v2[n, i] = c, s, e, z, 1
+    j, inter = _jaccard_impl(*(jnp.asarray(x) for x in
+                               (c1, s1, e1, z1, v1, c2, s2, e2, z2, v2,
+                                len1, len2)), float(percentage), M)
+    j = np.asarray(j).copy()
+    inter = np.asarray(inter).copy()
+    for n in overflow:
+        j[n], inter[n] = jaccard_host(lists1[n], lists2[n], percentage)
+    return j, inter
+
+
+def jaccard_host(l1, l2, percentage):
+    """Exact host mirror (same greedy-first-match semantics)."""
+    if not l1 or not l2:
+        return 0.0, 0
+    used = [False] * len(l2)
+    inter = 0
+    for (c, s, e, z) in l1:
+        for jn, (c2_, s2_, e2_, z2_) in enumerate(l2):
+            if used[jn]:
+                continue
+            ov = max(0, min(e, e2_) - max(s, s2_))
+            if c == c2_ and z > 0 and z2_ > 0 \
+                    and min(ov / z, ov / z2_) >= percentage:
+                used[jn] = True
+                inter += 1
+                break
+    union = len(l1) + len(l2) - inter
+    if union == 0:
+        return 0.0, 0
+    return inter / union, inter

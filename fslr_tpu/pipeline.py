@@ -1,0 +1,211 @@
+"""Pipeline orchestrator — the fslr ``pipeline()`` equivalent.
+
+Stage sequencing, counters, and file contract replicate
+/root/reference/fslr/main.py:41-372:
+
+  inputs glob (main.py:85-87) -> junk filter fan-out (:95-101) -> primer
+  ID (:103-114) -> no-primer concatenation (:118-119) -> alignment +
+  selection [+ masked-reference double mapping] (:121-171) ->
+  {name}.bwa_dodi.bam + {name}.mappings.bed (:180-183) ->
+  filter_counts_summary.csv (:185-188) -> clustering block (:190-352) ->
+  {name}.mappings.cluster.bed / {name}.mappings.representative.bed.
+
+Differences by design (documented divergences):
+  * per-file fan-out runs serially on the host — parallelism lives on the
+    device (batched kernels) and across hosts (parallel/mesh.py), not in a
+    multiprocessing.Pool; --procs is accepted for CLI compatibility;
+  * the masked-reference build overlaps filtering on a thread, mirroring
+    the reference's background Process (main.py:78-82);
+  * counters are plain dicts merged deterministically (the reference's
+    Manager dict ordering depends on worker timing).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+import threading
+
+import numpy as np
+import pandas as pd
+
+from fslr_tpu.config import PipelineConfig
+from fslr_tpu.index import reference as refmod
+from fslr_tpu.io import bam as bamio
+from fslr_tpu.io.fastq import glob_input_files, read_fastx
+from fslr_tpu.panel import load_panel
+from fslr_tpu.stages import (align as align_stage, cluster as cluster_stage,
+                             filter_junk, find_primers, mapping_table)
+
+
+def _load_indexed(path: str, k: int):
+    ref = refmod.load_reference(path)
+    cache = f'{path}.fslr_k{k}.npz'
+    try:
+        if os.path.exists(cache) and os.path.getmtime(cache) >= \
+                os.path.getmtime(path):
+            z = np.load(cache)
+            sidx = refmod.SeedIndex(k=k, counts=z['counts'],
+                                    positions=z['positions'])
+            return ref, sidx
+    except Exception:
+        pass
+    sidx = refmod.build_seed_index(ref, k)
+    try:
+        np.savez(cache, counts=sidx.counts, positions=sidx.positions)
+    except Exception:
+        pass
+    return ref, sidx
+
+
+def _merge_existing(dst: dict, src: dict):
+    """Stage-A merge: only pre-initialised keys accumulate
+    (filter_junk_from_fq.py:179-182)."""
+    for k, v in src.items():
+        if k in dst:
+            dst[k] += v
+
+
+def _merge_all(dst: dict, src: dict):
+    """Stage-B merge: new keys are created (find_reads_with_primers
+    func, :125-128)."""
+    for k, v in src.items():
+        if k not in dst:
+            dst[k] = 0
+        dst[k] += v
+
+
+def run_pipeline(config: PipelineConfig, backend: str | None = None):
+    basename = os.path.join(config.out, config.name)
+    print('Basename: ', basename, file=sys.stderr)
+
+    filter_counts = {
+        'name': config.name, 'total_kept': 0, 'total_dropped': 0,
+        'concatemers_dropped': 0, 'junk_seqs_dropped': 0,
+        'short_seqs_dropped': 0, 'False_False': 0,
+    }
+    panel = load_panel().subset(config.primers)
+
+    if not os.path.exists(config.out):
+        os.mkdir(config.out)
+
+    if not config.skip_alignment:
+        masked_ref_path = f'{basename}_temp_ref.fa'
+        mask_thread = None
+        if config.reference_mask:
+            mask_thread = threading.Thread(
+                target=refmod.write_masked_reference,
+                args=(config.reference_mask, masked_ref_path, config.ref))
+            mask_thread.start()
+
+        print('Filtering reads: ', config.basecalled, file=sys.stderr)
+        fs = glob_input_files(config.basecalled)
+        print('Input files:', fs, file=sys.stderr)
+        for pth in fs:
+            if os.path.getsize(pth) == 0:
+                raise ValueError(f"The file '{pth}' is empty.")
+        for pth in fs:
+            c = filter_junk.run_file(pth, panel, config, backend)
+            _merge_existing(filter_counts, c)
+
+        for pth in glob.glob(f'{config.out}/*filtered_junk.fq'):
+            if os.path.getsize(pth) == 0:
+                print(f"WARNING: The file '{pth}' is empty.",
+                      file=sys.stderr)
+            c = find_primers.run_file(pth, panel, config, backend)
+            _merge_all(filter_counts, c)
+
+        print('Filter counts: ', filter_counts, file=sys.stderr)
+
+        # concatenate no-primer reads (main.py:118-119)
+        with open(f'{basename}.without_primers.fq', 'w') as out:
+            for pth in sorted(glob.glob(f'{config.out}/*.no_primers.fq')):
+                with open(pth) as fh:
+                    out.write(fh.read())
+                os.remove(pth)
+
+        # ---- alignment + selection ------------------------------------
+        ref, sidx = _load_indexed(config.ref, config.align.seed_k)
+        masked = None
+        if config.reference_mask:
+            mask_thread.join()
+            print(f'Mapping against masked reference defined by '
+                  f'{config.reference_mask}', file=sys.stderr)
+            masked = _load_indexed(masked_ref_path, config.align.seed_k)
+
+        qnames, seqs, quals = [], [], []
+        labelled = sorted(glob.glob(f'{basename}.*.primers_labelled.fq'))
+        for pth in labelled:
+            for rec in read_fastx(pth):
+                qnames.append(rec.name)
+                seqs.append(rec.sequence)
+                quals.append(rec.quality)
+
+        aln = align_stage.align_batch(seqs, ref, sidx, config,
+                                      regions_path=config.regions,
+                                      backend=backend, masked=masked)
+
+        # BAM output (io/bam.py; replaces bwa|dodi|samtools pipeline)
+        records = []
+        from fslr_tpu.encode import revcomp_str
+        for i in range(len(aln)):
+            ridx = int(aln.read_idx[i])
+            pri = bool(aln.is_primary[i])
+            rev = bool(aln.strand_rev[i])
+            flag = (16 if rev else 0) | (0 if pri else 2048)
+            rspan = int(aln.rend[i]) - int(aln.rstart[i]) + 1
+            cig = bamio.approx_cigar(int(aln.qstart_o[i]),
+                                     int(aln.qend_o[i]),
+                                     int(aln.qlen[i]), rspan,
+                                     hard_clips=not pri)
+            seq = ''
+            qual = None
+            if pri:
+                seq = seqs[ridx]
+                qual = quals[ridx]
+                if rev:
+                    seq = revcomp_str(seq)
+                    qual = qual[::-1] if qual else None
+            records.append(bamio.BamRecord(
+                qname=qnames[ridx], flag=flag,
+                ref_id=int(aln.chrom_idx[i]), pos=int(aln.rstart[i]),
+                mapq=int(aln.mapq[i]), cigar=cig, seq=seq, qual=qual,
+                tags={'AS': int(aln.score[i])}))
+        bamio.write_bam(f'{basename}.bwa_dodi.bam', ref.names, ref.lengths,
+                        records)
+
+        if not config.keep_temp:
+            for pth in glob.glob(f'{basename}_temp_ref.fa*'):
+                os.remove(pth)
+            for pth in labelled:
+                os.remove(pth)
+
+        assert len(glob.glob(f'{basename}.bwa_dodi.bam')) == 1
+
+        df = mapping_table.mapping_table(
+            aln, qnames, seqs, ref.names, config.regions, panel.seqs)
+        mapping_table.write_mappings_bed(df, f'{basename}.mappings.bed')
+
+        with open(f'{basename}.filter_counts_summary.csv', 'w') as fc:
+            fc.write('Filter counts:' + '\n')
+            fc.write(','.join(str(k) for k in filter_counts.keys()) + '\n')
+            fc.write(','.join(str(v) for v in filter_counts.values()) + '\n')
+
+    if not config.skip_clustering:
+        print('Making clusters')
+        bed_file = pd.read_csv(f'{basename}.mappings.bed', sep='\t')
+        chr_lengths = bamio.get_chromosome_lengths(
+            f'{basename}.bwa_dodi.bam')
+        res = cluster_stage.cluster_stage(bed_file, chr_lengths,
+                                          config.cluster)
+        if res.no_clusters:
+            print('No clusters were found.')
+            return
+        res.cluster_bed.to_csv(f'{basename}.mappings.cluster.bed',
+                               index=False, sep='\t')
+        res.representative_bed.to_csv(
+            f'{basename}.mappings.representative.bed', index=False,
+            sep='\t')
+
+    print('fslr finished')

@@ -90,15 +90,39 @@ def _overlaps_region(regions, chrom_name, start, end):
 
 def align_batch(seqs: list[str], ref: Reference, sidx: SeedIndex,
                 config: PipelineConfig, regions_path: str | None = None,
-                backend: str | None = None) -> Alignments:
-    """Align a list of read sequences.  Returns selected alignments only."""
+                backend: str | None = None,
+                masked: tuple[Reference, SeedIndex] | None = None
+                ) -> Alignments:
+    """Align a list of read sequences.  Returns selected alignments only.
+
+    ``masked``: optional (Reference, SeedIndex) of the masked reference;
+    candidates from both references are pooled before selection, exactly as
+    the reference pipeline's samtools-merge + single dodi pass arbitrates
+    masked-vs-whole-reference candidates (main.py:121-141).  Masked contig
+    names must be a subset of the main reference's names.
+    """
+    cands = _gather_candidates(seqs, ref, sidx, config, backend)
+    if masked is not None:
+        mref, msidx = masked
+        name_to_idx = {n: i for i, n in enumerate(ref.names)}
+        for a in _gather_candidates(seqs, mref, msidx, config, backend):
+            mname = mref.names[a['chrom_idx']]
+            if mname in name_to_idx:
+                a['chrom_idx'] = name_to_idx[mname]
+                cands.append(a)
+    return _select_and_finalize(cands, ref, config, regions_path)
+
+
+def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
+                       config: PipelineConfig,
+                       backend: str | None = None) -> list[dict]:
+    """Seed + extend: candidate alignments (dicts) against one reference."""
     acfg = config.align
     k = sidx.k
     genome = ref.codes
     G = len(genome)
     counts = sidx.counts
     positions = sidx.positions
-    regions = _build_regions(regions_path, ref.names)
     contig_starts = ref.offsets[:-1]
     contig_ends = ref.offsets[1:]
 
@@ -154,9 +178,7 @@ def align_batch(seqs: list[str], ref: Reference, sidx: SeedIndex,
                                       int(res['count'][r, c])))
 
     if not cand_rows:
-        return Alignments(*[np.zeros(0, dt) for dt in
-                            (np.int32,) * 4 + (bool,) + (np.int32,) * 4
-                            + (np.int32,) + (bool, bool)])
+        return []
 
     # ---- extension batches, grouped by read-length bucket -------------
     all_aln = []      # dicts per candidate alignment
@@ -236,10 +258,22 @@ def align_batch(seqs: list[str], ref: Reference, sidx: SeedIndex,
                 qlen=Lq,
                 score=int(score[r])))
 
+    return all_aln
+
+
+def _empty_alignments() -> Alignments:
+    return Alignments(*[np.zeros(0, dt) for dt in
+                        (np.int32,) * 4 + (bool,) + (np.int32,) * 4
+                        + (np.int32,) + (bool, bool)])
+
+
+def _select_and_finalize(all_aln: list[dict], ref: Reference,
+                         config: PipelineConfig,
+                         regions_path: str | None) -> Alignments:
+    acfg = config.align
+    regions = _build_regions(regions_path, ref.names)
     if not all_aln:
-        return Alignments(*[np.zeros(0, dt) for dt in
-                            (np.int32,) * 4 + (bool,) + (np.int32,) * 4
-                            + (np.int32,) + (bool, bool)])
+        return _empty_alignments()
 
     # ---- dedup identical alignments -----------------------------------
     seen = set()

@@ -1,0 +1,151 @@
+"""Clustering stage tests (cluster.py + main.py block semantics)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fslr_tpu.config import ClusterConfig
+from fslr_tpu.ops import components, jaccard
+from fslr_tpu.stages import cluster as C
+
+CFG = ClusterConfig()
+CHR_LEN = {'chr1': 10_000_000, 'chr2': 10_000_000}
+
+
+def _read_rows(qname, segs, qlen, score=1000):
+    """segs: list of (chrom, rstart, rend, qstart, qend)."""
+    rows = []
+    for (chrom, rs, re_, qs, qe) in segs:
+        rows.append(dict(chrom=chrom, rstart=rs, rend=re_, qname=qname,
+                         n_alignments=len(segs), aln_size=qe - qs,
+                         qstart=qs, qend=qe, strand='+', mapq=60, qlen=qlen,
+                         alignment_score=score, inferred_by_primer=0,
+                         seq=''))
+    return rows
+
+
+def _bed(reads):
+    rows = []
+    for r in reads:
+        rows += r
+    return pd.DataFrame(rows)
+
+
+def _fusion_read(qname, interior_start, chrom='chr1', score=1000, jitter=0):
+    """3-segment read: bread + one interior filling + bread."""
+    s = interior_start + jitter
+    return _read_rows(qname, [
+        ('chr2', 8_000_000, 8_000_500, 0, 500),
+        (chrom, s, s + 1000, 500, 1500),
+        ('chr2', 8_100_000, 8_100_500, 1500, 2000),
+    ], qlen=2000, score=score)
+
+
+def test_cluster_two_groups_and_singletons():
+    reads = []
+    for i in range(4):
+        reads.append(_fusion_read(f'A{i}.x.21q1F_17p6R', 2_000_000,
+                                  score=1000 + i))
+    for i in range(3):
+        reads.append(_fusion_read(f'B{i}.x.21q1F_17p6R', 3_000_000,
+                                  chrom='chr2', score=500 + i))
+    reads.append(_fusion_read('C0.x.21q1F_17p6R', 5_000_000, score=10))
+    bed = _bed(reads)
+    res = C.cluster_stage(bed, CHR_LEN, CFG)
+    assert not res.no_clusters
+    cb = res.cluster_bed
+    a_clusters = set(cb[cb['qname'].str.startswith('A')]['cluster'])
+    b_clusters = set(cb[cb['qname'].str.startswith('B')]['cluster'])
+    c_clusters = set(cb[cb['qname'].str.startswith('C')]['cluster'])
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    assert c_clusters.isdisjoint(a_clusters | b_clusters)
+    # n_reads per group
+    assert set(cb[cb['qname'].str.startswith('A')]['n_reads']) == {4}
+    assert set(cb[cb['qname'].str.startswith('B')]['n_reads']) == {3}
+    assert set(cb[cb['qname'].str.startswith('C')]['n_reads']) == {1}
+    # chroms restored to strings
+    assert set(cb['chrom']) <= {'chr1', 'chr2'}
+    # representatives: best avg score per cluster -> A3, B2, C0
+    rep_names = set(res.representative_bed['qname'].str.split('.').str[0])
+    assert {'A3', 'B2', 'C0'} <= rep_names
+
+
+def test_cluster_no_clusters():
+    reads = [_fusion_read('A0.x.21q1F_17p6R', 2_000_000),
+             _fusion_read('B0.x.21q1F_17p6R', 3_000_000, chrom='chr2')]
+    res = C.cluster_stage(_bed(reads), CHR_LEN, CFG)
+    assert res.no_clusters
+
+
+def test_subtelomere_mask_drops_edge_intervals():
+    # interior interval within 500kb of chromosome start -> masked out
+    reads = [_fusion_read(f'A{i}.x.21q1F_17p6R', 100_000) for i in range(3)]
+    res = C.cluster_stage(_bed(reads), CHR_LEN, CFG)
+    assert res.no_clusters        # all interiors masked, no edges
+
+
+def test_cluster_qlen_gate():
+    # same breakpoint but very different interior spans -> gated by qlen2
+    r1 = _read_rows('A0.x', [('chr2', 8_000_000, 8_000_500, 0, 500),
+                             ('chr1', 2_000_000, 2_001_000, 500, 1500),
+                             ('chr2', 8_100_000, 8_100_500, 1500, 2000)],
+                    qlen=2000)
+    r2 = _read_rows('A1.x', [('chr2', 8_000_000, 8_000_500, 0, 500),
+                             ('chr1', 2_000_000, 2_001_000, 500, 3500),
+                             ('chr2', 8_100_000, 8_100_500, 3500, 4000)],
+                    qlen=4000)
+    res = C.cluster_stage(_bed([r1, r2]), CHR_LEN, CFG)
+    # qlen2 ratio 1000/3000 < 0.96 and n_alignments equal -> gate says
+    # "not different" via n_alignments (3/3 >= 0.75) -> pair allowed;
+    # jaccard: intervals overlap fully reciprocally? aln_size differs
+    # (1000 vs 3000): overlap 1000 -> rec = min(1, 1/3) < 0.8 -> no edge
+    assert res.no_clusters
+
+
+def test_keep_fillings():
+    bed = _bed([_read_rows('q1', [('chr1', 0, 100, 0, 100),
+                                  ('chr1', 200, 300, 100, 200),
+                                  ('chr1', 400, 500, 200, 300)], 300),
+                _read_rows('q2', [('chr1', 0, 100, 0, 100),
+                                  ('chr1', 400, 500, 100, 200)], 200)])
+    out = C.keep_fillings(bed)
+    assert list(out['qname']) == ['q1']
+    assert list(out['qlen2']) == [100]
+
+
+def test_rename_chromosomes_ordering():
+    bed = pd.DataFrame({'chrom': ['chr10', 'chr2', 'chrX', 'chr1']})
+    out, lens, mask, cmap = C.rename_chromosomes(bed, {}, [])
+    assert cmap == {'chr1': 1, 'chr2': 2, 'chr10': 3, 'chrX': 4}
+
+
+def test_jaccard_device_matches_host():
+    rng = np.random.default_rng(3)
+    lists1, lists2 = [], []
+    for _ in range(40):
+        def mk():
+            n = rng.integers(1, 6)
+            out = []
+            for _ in range(n):
+                c = int(rng.integers(1, 3))
+                s = int(rng.integers(0, 5000))
+                e = s + int(rng.integers(100, 2000))
+                out.append((c, s, e, float(e - s)))
+            return out
+        lists1.append(mk())
+        lists2.append(mk())
+    j, n_i = jaccard.jaccard_pairs(lists1, lists2, 0.8)
+    for i in range(40):
+        je, ne = jaccard.jaccard_host(lists1[i], lists2[i], 0.8)
+        assert abs(float(j[i]) - je) < 1e-6, i
+        assert int(n_i[i]) == ne, i
+
+
+def test_connected_components():
+    edges = np.array([[0, 1], [1, 2], [3, 4], [5, 5]], np.int32)
+    labels = np.asarray(components.connected_components(edges, 7))
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4]
+    assert labels[0] != labels[3]
+    assert labels[6] == 6

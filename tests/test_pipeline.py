@@ -1,0 +1,148 @@
+"""End-to-end pipeline test: synthetic genome + amplicon FASTQ -> artifacts.
+
+Mini version of BASELINE.json config 2/3: fusion reads with shared
+breakpoints must survive filtering, be split-aligned, and cluster; all
+reference artifacts must be produced with their file contracts.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fslr_tpu.config import PipelineConfig
+from fslr_tpu.encode import decode, revcomp_str
+from fslr_tpu.io import bam as bamio
+from fslr_tpu.panel import load_panel
+from fslr_tpu.pipeline import run_pipeline
+from tests.oracles import random_seq
+
+PANEL = load_panel().subset(['21q1', '17p6'])
+CHROM_LEN = 2_000_000
+
+
+@pytest.fixture(scope='module')
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp('pipe')
+    rng = np.random.default_rng(77)
+    chrA = random_seq(rng, CHROM_LEN)
+    chrB = random_seq(rng, CHROM_LEN)
+    ref_path = root / 'ref.fa'
+    with open(ref_path, 'w') as fh:
+        fh.write('>chrA\n' + decode(chrA) + '\n')
+        fh.write('>chrB\n' + decode(chrB) + '\n')
+
+    t21 = PANEL.targets['21q1']
+    t17rc = revcomp_str(PANEL.targets['17p6'])
+
+    def fusion_read(bpos):
+        return (t21 + decode(chrA[1_000_000:1_000_800])
+                + decode(chrB[bpos:bpos + 1000])
+                + decode(chrA[1_200_000:1_200_800]) + t17rc)
+
+    reads = []
+    for i in range(4):
+        reads.append((f'g1r{i}', fusion_read(1_000_000)))
+    # keep g2's interior interval > 500kb from both chromosome ends, or
+    # the subtelomere mask (correctly) drops it
+    for i in range(3):
+        reads.append((f'g2r{i}', fusion_read(1_200_000)))
+    # singleton with only the start primer (exercises pseudo-primer path)
+    reads.append(('single0', t21 + decode(chrA[1_500_000:1_500_900])))
+    # junk read dropped by the filter
+    reads.append(('junky', decode(random_seq(rng, 300)) + 'AT' * 200
+                  + decode(random_seq(rng, 300))))
+
+    fq_dir = root / 'reads'
+    fq_dir.mkdir()
+    with open(fq_dir / 'batch0.fastq', 'w') as fh:
+        for name, seq in reads:
+            fh.write(f'@{name}\n{seq}\n+\n{"I" * len(seq)}\n')
+    return root, str(ref_path), str(fq_dir)
+
+
+def test_pipeline_end_to_end(workdir):
+    root, ref_path, fq_dir = workdir
+    out = str(root / 'out')
+    config = PipelineConfig(name='T', out=out, ref=ref_path,
+                            primers=('21q1', '17p6'), basecalled=fq_dir)
+    run_pipeline(config, backend='jax')
+
+    basename = os.path.join(out, 'T')
+    # --- artifacts exist ---
+    for suffix in ('.bwa_dodi.bam', '.mappings.bed',
+                   '.filter_counts_summary.csv', '.without_primers.fq',
+                   '.mappings.cluster.bed', '.mappings.representative.bed'):
+        assert os.path.exists(basename + suffix), suffix
+
+    # --- filter counts ---
+    with open(basename + '.filter_counts_summary.csv') as fh:
+        lines = fh.read().splitlines()
+    assert lines[0] == 'Filter counts:'
+    counts = dict(zip(lines[1].split(','), lines[2].split(',')))
+    assert counts['name'] == 'T'
+    assert counts['total_kept'] == '8'
+    assert counts['junk_seqs_dropped'] == '1'
+    assert counts['21q1F_17p6R'] == '7'
+    assert counts['21q1F_False'] == '1'
+
+    # --- mappings.bed ---
+    bed = pd.read_csv(basename + '.mappings.bed', sep='\t')
+    assert list(bed.columns) == [
+        'chrom', 'rstart', 'rend', 'qname', 'n_alignments', 'aln_size',
+        'qstart', 'qend', 'strand', 'mapq', 'qlen', 'alignment_score',
+        'short_anchor<50bp', 'fslr_version', 'inferred_by_primer', 'seq']
+    fusion_rows = bed[bed['qname'].str.startswith('g1r0')]
+    assert len(fusion_rows) == 3
+    assert list(fusion_rows['chrom']) == ['chrA', 'chrB', 'chrA']
+    single_rows = bed[bed['qname'].str.startswith('single0')]
+    assert len(single_rows) == 2           # genomic + inferred 21q1 pseudo
+    assert (single_rows['inferred_by_primer'] == 1).sum() == 1
+    assert '21q1' in set(single_rows['chrom'])
+
+    # --- BAM round-trip ---
+    names, lengths, records = bamio.read_bam(basename + '.bwa_dodi.bam')
+    assert names == ['chrA', 'chrB']
+    assert lengths == [CHROM_LEN, CHROM_LEN]
+    primaries = [r for r in records if not r.flag & 2304]
+    by_q = {}
+    for r in primaries:
+        by_q.setdefault(r.qname, []).append(r)
+    assert all(len(v) == 1 for v in by_q.values())
+    pri = by_q[[q for q in by_q if q.startswith('g1r0')][0]][0]
+    assert pri.seq != ''
+    assert pri.infer_read_length() == len(pri.seq)
+    # coordinate sorted
+    keyed = [(r.ref_id, r.pos) for r in records]
+    assert keyed == sorted(keyed)
+
+    # --- clustering ---
+    cb = pd.read_csv(basename + '.mappings.cluster.bed', sep='\t')
+    g1 = set(cb[cb['qname'].str.startswith('g1')]['cluster'])
+    g2 = set(cb[cb['qname'].str.startswith('g2')]['cluster'])
+    assert len(g1) == 1 and len(g2) == 1 and g1 != g2
+    assert set(cb[cb['qname'].str.startswith('g1')]['n_reads']) == {4}
+    assert set(cb[cb['qname'].str.startswith('g2')]['n_reads']) == {3}
+    rep = pd.read_csv(basename + '.mappings.representative.bed', sep='\t')
+    # one representative read per cluster (incl. singleton clusters)
+    assert rep.groupby('cluster')['qname'].nunique().eq(1).all()
+
+
+def test_pipeline_skip_alignment_resume(workdir):
+    root, ref_path, fq_dir = workdir
+    out = str(root / 'out')
+    config = PipelineConfig(name='T', out=out, ref=ref_path,
+                            primers=('21q1', '17p6'), basecalled=fq_dir,
+                            skip_alignment=True)
+    # resume from existing mappings.bed + bam (reference main.py:76,190)
+    run_pipeline(config, backend='jax')
+    assert os.path.exists(os.path.join(out, 'T.mappings.cluster.bed'))
+
+
+def test_unknown_primer_raises(workdir):
+    root, ref_path, fq_dir = workdir
+    config = PipelineConfig(name='X', out=str(root / 'out2'), ref=ref_path,
+                            primers=('nope',), basecalled=fq_dir)
+    with pytest.raises(ValueError):
+        run_pipeline(config, backend='jax')
