@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: synthetic amplicon config -> reads/s.
+
+Runs the full pipeline (filter -> primer ID -> align+select -> mapping
+table -> clustering) on a synthetic fusion dataset (BASELINE.json config-1
+scale: 1k reads, 2-primer panel, small reference) on the default backend
+(the real TPU chip), and prints ONE JSON line:
+
+  {"metric": ..., "value": reads/s, "unit": "reads/s", "vs_baseline": r}
+
+vs_baseline is measured against the same pipeline forced onto the host CPU
+backend (the reference pipeline's native CPU tools are not installed in
+this image, so the CPU baseline is this engine's own CPU execution; the
+result is cached in .bench_baseline.json).  First invocation pays Pallas
+compile time into the persistent XLA cache; the timed run is a second,
+warm run.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+N_READS = 1000
+REF_MB = 2_000_000
+
+
+def make_dataset(root):
+    import numpy as np
+
+    from fslr_tpu.encode import decode, revcomp_str
+    from fslr_tpu.panel import load_panel
+
+    rng = np.random.default_rng(123)
+    chrA = rng.integers(0, 4, REF_MB).astype(np.uint8)
+    chrB = rng.integers(0, 4, REF_MB).astype(np.uint8)
+    ref_path = os.path.join(root, 'ref.fa')
+    with open(ref_path, 'w') as fh:
+        fh.write('>chrA\n' + decode(chrA) + '\n>chrB\n' + decode(chrB) + '\n')
+    panel = load_panel().subset(['21q1', '17p6'])
+    t21 = panel.targets['21q1']
+    t17rc = revcomp_str(panel.targets['17p6'])
+
+    def sub(arr, lo, n):
+        return decode(arr[lo:lo + n])
+
+    fq_dir = os.path.join(root, 'reads')
+    os.makedirs(fq_dir, exist_ok=True)
+    path = os.path.join(fq_dir, 'b0.fastq')
+    n_groups = 20
+    with open(path, 'w') as fh:
+        for i in range(N_READS):
+            g = i % n_groups
+            bpos = 600_000 + g * 40_000
+            seq = (t21 + sub(chrA, 1_000_000, 800) + sub(chrB, bpos, 1000)
+                   + sub(chrA, 1_200_000, 800) + t17rc)
+            fh.write(f'@r{i}\n{seq}\n+\n{"I" * len(seq)}\n')
+    return ref_path, fq_dir
+
+
+def run_once(root, ref_path, fq_dir, tag):
+    from fslr_tpu.config import PipelineConfig
+    from fslr_tpu.pipeline import run_pipeline
+
+    out = os.path.join(root, f'out_{tag}')
+    config = PipelineConfig(name='B', out=out, ref=ref_path,
+                            primers=('21q1', '17p6'), basecalled=fq_dir)
+    t0 = time.time()
+    run_pipeline(config)
+    return time.time() - t0
+
+
+def measure(tag):
+    root = tempfile.mkdtemp(prefix='fslr_bench_')
+    ref_path, fq_dir = make_dataset(root)
+    run_once(root, ref_path, fq_dir, tag + '_warm')     # compile warm-up
+    dt = run_once(root, ref_path, fq_dir, tag)
+    return N_READS / dt
+
+
+def main():
+    if '--cpu-baseline' in sys.argv:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+        print(json.dumps({'cpu_reads_per_s': measure('cpu')}))
+        return
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(here, '.bench_baseline.json')
+    baseline = None
+    if os.path.exists(cache):
+        try:
+            baseline = json.load(open(cache))['cpu_reads_per_s']
+        except Exception:
+            baseline = None
+    if baseline is None:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--cpu-baseline'],
+            capture_output=True, text=True, timeout=3600, cwd=here)
+        line = proc.stdout.strip().splitlines()[-1]
+        baseline = json.loads(line)['cpu_reads_per_s']
+        with open(cache, 'w') as fh:
+            json.dump({'cpu_reads_per_s': baseline}, fh)
+
+    tpu = measure('tpu')
+    print(json.dumps({
+        'metric': 'end-to-end pipeline reads/s (1k synthetic fusion reads, '
+                  '2-primer panel; TPU chip vs same pipeline on host CPU)',
+        'value': round(tpu, 2),
+        'unit': 'reads/s',
+        'vs_baseline': round(tpu / baseline, 2) if baseline else None,
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,199 @@
+"""Fused device pipeline step: filter -> primer ID -> align, one jit.
+
+This is the engine's "forward step": everything the pipeline computes on
+device for a fixed-shape read batch, expressed as a single jittable
+function so it can be (a) compile-checked on one chip and (b) shard_mapped
+over a read-sharded mesh with psum'd counters for multi-chip runs
+(SURVEY.md sections 2C and 5.8).
+
+The step intentionally uses the pure-JAX kernel paths (ops.ssw._sw_jax /
+ops.banded._banded_jax) so the same program compiles on CPU meshes (the
+standard xla_force_host_platform_device_count trick) and on TPU; the
+pallas variants are drop-in replacements on the TPU execution path.
+
+Stages fused here:
+  1. tantan-equivalent repeat mask + junk-block decision (stage A core);
+  2. fixed-grid concatemer SW scan of the read interior;
+  3. primer-target SW against both 500 bp end windows (stage B scores);
+  4. k-mer seeding + top-candidate diagonal selection vs the replicated
+     reference index, banded extension of the top candidates, and the
+     split-selection DP (alignment core).
+Counters (reads kept / dropped by class) are psum'd over the mesh axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from fslr_tpu.config import PipelineConfig
+from fslr_tpu.ops import kmer_stats, seed, selection, tantan
+from fslr_tpu.ops.banded import BW, _banded_jax
+from fslr_tpu.ops.ssw import _sw_jax, first_gap_cost
+
+
+def _end_windows(reads, lens, window):
+    B, L = reads.shape
+    W = min(window, L)
+    start_w = reads[:, :W]
+    idx = jnp.maximum(lens[:, None] - W, 0) + jnp.arange(W)[None, :]
+    end_w = jnp.take_along_axis(reads, jnp.minimum(idx, L - 1), axis=1)
+    space = jnp.minimum(lens // 2, window)
+    return start_w, end_w, space
+
+
+def make_device_step(config: PipelineConfig, n_primer_targets: int,
+                     L: int, n_seed_pos: int, axis_name: str | None = None):
+    """Build the jittable step for a fixed read length bucket L.
+
+    Step signature:
+      step(reads (B,L) u8, lens (B,), ptargets (P,128) u8, ptlens (P,),
+           pseqs (P2,128) u8, pslens (P2,), tel_table (5^6,) bool,
+           genome (G,) u8, counts (4^k+1,) i32, positions (N,) i32)
+    Returns dict with junk/concat flags, primer scores/ends, alignment
+    fields, and psum'd counters.
+    """
+    jcfg = config.junk
+    pcfg = config.primer
+    acfg = config.align
+    sc = config.scoring
+    sw_kw = dict(match=float(sc.match), mismatch=float(sc.mismatch),
+                 fg=first_gap_cost(sc), ext=float(sc.gap_extend))
+    asc = acfg.scoring
+    ext_kw = dict(match=float(asc.match), mismatch=float(asc.mismatch),
+                  fg=first_gap_cost(asc), ext=float(asc.gap_extend))
+
+    def step(reads, lens, ptargets, ptlens, pseqs, pslens, tel_table,
+             genome, counts, positions):
+        B = reads.shape[0]
+        # ---- stage A: repeat mask + junk blocks -----------------------
+        mask = tantan._mask_impl(
+            reads, lens, jcfg.mask_max_period, jcfg.mask_repeat_start,
+            jcfg.mask_repeat_end, jcfg.mask_decay, jcfg.mask_match_prob,
+            jcfg.mask_posterior_threshold)
+        junk, _ = kmer_stats._block_stats_impl(
+            reads, lens, mask, tel_table, jcfg.min_block_length,
+            jcfg.telomere_pct_threshold, jcfg.rep_threshold)
+
+        # ---- stage A: concatemer scan (fixed window grid) -------------
+        P2 = pseqs.shape[0]
+        interior = jnp.maximum(lens - 2 * jcfg.end_trim, 0)
+        # one fixed window covering the interior per read (L <= chunk size
+        # buckets; larger buckets get a static multi-window grid)
+        n_win = max(1, -(-(L - 2 * jcfg.end_trim) // jcfg.chunk_size))
+        WT = min(L, jcfg.chunk_size + 2 * 64)
+        widx = (jcfg.end_trim
+                + (jnp.arange(n_win) * jcfg.chunk_size)[:, None]
+                + jnp.arange(WT)[None, :])                       # (nw, WT)
+        wcodes = jnp.take(reads, jnp.minimum(widx, L - 1), axis=1)
+        # windows x primers: tile rows
+        wq = jnp.repeat(pseqs[None, :, :], B, 0)                 # (B,P2,128)
+        cscore_parts = []
+        for wi in range(n_win):
+            tw = wcodes[:, wi, :]
+            win_len = jnp.clip(interior - wi * jcfg.chunk_size, 0, WT)
+            t_tiled = jnp.repeat(tw[:, None, :], P2, 1).reshape(B * P2, WT)
+            tl = jnp.repeat(win_len[:, None], P2, 1).reshape(B * P2)
+            s, _, _ = _sw_jax(wq.reshape(B * P2, -1), t_tiled,
+                              jnp.repeat(pslens[None, :], B, 0).reshape(-1),
+                              tl, **sw_kw)
+            cscore_parts.append(s.reshape(B, P2))
+        cscore = jnp.max(jnp.stack(cscore_parts, 0), axis=(0, 2))
+        concat = (cscore >= jcfg.concatemer_score) & \
+            (lens >= jcfg.min_read_length)
+        short = lens < jnp.int32(max(jcfg.min_read_length,
+                                     2 * jcfg.end_trim + 1))
+        drop = junk | short | concat
+
+        # ---- stage B: primer scores on end windows --------------------
+        NP = ptargets.shape[0]
+        start_w, end_w, space = _end_windows(reads, lens, pcfg.search_window)
+        tq = jnp.repeat(ptargets[None, :, :], B, 0).reshape(B * NP, -1)
+        tql = jnp.repeat(ptlens[None, :], B, 0).reshape(-1)
+        s1 = jnp.repeat(start_w[:, None, :], NP, 1).reshape(B * NP, -1)
+        s1l = jnp.repeat(space[:, None], NP, 1).reshape(-1)
+        sc1, _, _ = _sw_jax(tq, s1, tql, s1l, **sw_kw)
+        e1 = jnp.repeat(end_w[:, None, :], NP, 1).reshape(B * NP, -1)
+        sc2, _, _ = _sw_jax(tq, e1, tql, s1l, **sw_kw)
+        p1_scores = sc1.reshape(B, NP)
+        p2_scores = sc2.reshape(B, NP)
+
+        # ---- alignment: seed + extend top candidates + select ---------
+        k = acfg.seed_k
+        cand = seed.seed_candidates(
+            reads, lens, counts, positions, k=k, stride=acfg.seed_stride,
+            occ_drop=1000, band_w=acfg.band_width // 2,
+            max_cand=4, S=n_seed_pos, C=16)
+        NCAND = 4
+        G = genome.shape[0]
+        qs_all, qe_all, sc_all, v_all = [], [], [], []
+        for c in range(NCAND):
+            ws = cand['diag'][:, c] - BW // 2
+            widx2 = ws[:, None] + jnp.arange(L + 256)[None, :]
+            wv = (widx2 >= 0) & (widx2 < G)
+            w = jnp.where(wv, jnp.take(genome, jnp.clip(widx2, 0, G - 1)),
+                          4).astype(jnp.int32)
+            s, qend, lane = _banded_jax(reads.astype(jnp.int32), w, lens,
+                                        **ext_kw)
+            qs_all.append(jnp.maximum(qend - (s / 2).astype(jnp.int32), 0))
+            qe_all.append(qend + 1)
+            sc_all.append(s)
+            v_all.append(cand['valid'][:, c]
+                         & (cand['count'][:, c] >= acfg.min_chain_seeds))
+        qs = jnp.stack(qs_all, 1)
+        qe = jnp.stack(qe_all, 1)
+        scs = jnp.stack(sc_all, 1)
+        vv = jnp.stack(v_all, 1)
+        chosen = selection._select_impl(
+            qs, qe, jnp.where(vv, scs, -1e30), vv & (scs >= 21),
+            float(acfg.ol_cost), float(acfg.max_overlap))
+
+        counters = {
+            'total_kept': jnp.sum(~drop),
+            'total_dropped': jnp.sum(drop),
+            'junk_seqs_dropped': jnp.sum(junk),
+            'short_seqs_dropped': jnp.sum(short & ~junk),
+            'concatemers_dropped': jnp.sum(concat & ~junk & ~short),
+            'aligned_segments': jnp.sum(chosen),
+        }
+        if axis_name is not None:
+            counters = {kk: jax.lax.psum(v, axis_name)
+                        for kk, v in counters.items()}
+        return dict(junk=junk, short=short, concat=concat,
+                    p1_scores=p1_scores, p2_scores=p2_scores,
+                    sel_qstart=qs, sel_qend=qe, sel_score=scs,
+                    sel_chosen=chosen, counters=counters)
+
+    return step
+
+
+def make_sharded_step(mesh, config: PipelineConfig, n_primer_targets: int,
+                      L: int, n_seed_pos: int):
+    """shard_map the device step over the reads axis of ``mesh``; batch
+    arrays are sharded, panel/index/genome are replicated; counters come
+    back psum'd (replicated)."""
+    from jax.sharding import PartitionSpec as P
+
+    from fslr_tpu.parallel.mesh import READS_AXIS
+
+    step = make_device_step(config, n_primer_targets, L, n_seed_pos,
+                            axis_name=READS_AXIS)
+    bspec = P(READS_AXIS)
+    rspec = P()
+    in_specs = (P(READS_AXIS, None), bspec,          # reads, lens
+                rspec, rspec, rspec, rspec, rspec,   # panel + tel table
+                rspec, rspec, rspec)                 # genome/index
+    out_specs = dict(
+        junk=bspec, short=bspec, concat=bspec,
+        p1_scores=P(READS_AXIS, None), p2_scores=P(READS_AXIS, None),
+        sel_qstart=P(READS_AXIS, None), sel_qend=P(READS_AXIS, None),
+        sel_score=P(READS_AXIS, None), sel_chosen=P(READS_AXIS, None),
+        counters={k: rspec for k in
+                  ('total_kept', 'total_dropped', 'junk_seqs_dropped',
+                   'short_seqs_dropped', 'concatemers_dropped',
+                   'aligned_segments')})
+    sharded = jax.shard_map(step, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs, check_vma=False)
+    return jax.jit(sharded)
