@@ -24,10 +24,11 @@ import tempfile
 import time
 
 N_READS = 1000
+N_READS_CPU = 100      # the CPU baseline is measured on a smaller sample
 REF_MB = 2_000_000
 
 
-def make_dataset(root):
+def make_dataset(root, n_reads=N_READS):
     import numpy as np
 
     from fslr_tpu.encode import decode, revcomp_str
@@ -51,7 +52,7 @@ def make_dataset(root):
     path = os.path.join(fq_dir, 'b0.fastq')
     n_groups = 20
     with open(path, 'w') as fh:
-        for i in range(N_READS):
+        for i in range(n_reads):
             g = i % n_groups
             bpos = 600_000 + g * 40_000
             seq = (t21 + sub(chrA, 1_000_000, 800) + sub(chrB, bpos, 1000)
@@ -72,19 +73,19 @@ def run_once(root, ref_path, fq_dir, tag):
     return time.time() - t0
 
 
-def measure(tag):
+def measure(tag, n_reads=N_READS):
     root = tempfile.mkdtemp(prefix='fslr_bench_')
-    ref_path, fq_dir = make_dataset(root)
+    ref_path, fq_dir = make_dataset(root, n_reads)
     run_once(root, ref_path, fq_dir, tag + '_warm')     # compile warm-up
     dt = run_once(root, ref_path, fq_dir, tag)
-    return N_READS / dt
+    return n_reads / dt
 
 
 def main():
     if '--cpu-baseline' in sys.argv:
         import jax
         jax.config.update('jax_platforms', 'cpu')
-        print(json.dumps({'cpu_reads_per_s': measure('cpu')}))
+        print(json.dumps({'cpu_reads_per_s': measure('cpu', N_READS_CPU)}))
         return
 
     here = os.path.dirname(os.path.abspath(__file__))

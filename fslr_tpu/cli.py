@@ -66,6 +66,10 @@ from fslr_tpu.config import ClusterConfig, PipelineConfig
               help='Filter regions with high coverage')
 @click.option('--filter-false', required=False, is_flag=True,
               help='Use reads with both primers labeled')
+@click.option('--consensus', 'run_consensus', required=False, is_flag=True,
+              help='Run the per-cluster consensus + realign stage '
+                   '(documented in the reference but shipped disabled '
+                   'there; opt-in here)')
 @click.version_option(fslr_tpu.__version__)
 def pipeline(**args):
     from fslr_tpu.pipeline import run_pipeline
@@ -89,6 +93,7 @@ def pipeline(**args):
         keep_temp=args['keep_temp'],
         skip_alignment=args['skip_alignment'],
         skip_clustering=args['skip_clustering'],
+        run_consensus=args['run_consensus'],
         procs=args['procs'], cluster=cluster)
     config = config.replace(
         primer=config.primer.__class__(

@@ -149,6 +149,8 @@ class PipelineConfig:
     keep_temp: bool = False
     skip_alignment: bool = False
     skip_clustering: bool = False
+    run_consensus: bool = False   # the reference ships this stage disabled
+    exact_cigars: bool = True     # traceback-kernel CIGARs in the BAM
     procs: int = 1
 
     scoring: ScoringConfig = dataclasses.field(default_factory=ScoringConfig)

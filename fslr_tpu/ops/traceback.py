@@ -1,0 +1,331 @@
+"""Banded SW with traceback: direction-bit emission + lockstep path walk.
+
+Extends ops/banded.py with per-cell 4-bit traceback codes so selected
+alignments get real per-base paths (CIGARs for the BAM artifact, pileup
+columns for the consensus stage) without any per-read host DP:
+
+  bits 0-1  H source: 0 = local start, 1 = diagonal, 2 = E (query gap /
+            insertion), 3 = F (reference gap / deletion)
+  bit 2     E extends a previous E (vs opening from H)
+  bit 3     F extends a previous F (vs opening from H)
+
+Codes for 8 consecutive query steps are packed into one int32 word
+(code << 4*(i % 8)), giving a (N, Lq/8, BW) output — 64 KB per 2048-bp
+row.  The path walk runs lockstep-vectorized over all alignments on host:
+each iteration advances every active alignment one traceback step with
+pure numpy gathers (O(path length) iterations total).
+
+Ties prefer diagonal moves, then E, then F — any optimal-path tie-break is
+valid; this one favours matches, which is what CIGAR consumers expect.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fslr_tpu.config import ScoringConfig
+from fslr_tpu.ops.ssw import NEG, _cummax_exclusive, _shift_right, \
+    first_gap_cost
+from fslr_tpu.ops.banded import BW, _shift_left
+
+DEF_BT = 128
+
+
+def _tb_step(H, E, s, jidx, fg, ext, roll_fn):
+    """One query row; returns (H, E, code) with code (BT, BW) int32."""
+    H_up = _shift_left(H, roll_fn, jidx)
+    E_up = _shift_left(E, roll_fn, jidx)
+    e_ext = (E_up - ext) >= (H_up - fg)
+    E = jnp.maximum(E_up - ext, H_up - fg)
+    diag = H + s
+    Hno = jnp.maximum(jnp.maximum(diag, E), 0.0)
+    C = Hno + jidx * ext
+    Cm = _cummax_exclusive(C, roll_fn, jidx)
+    F = Cm - fg - (jidx - 1.0) * ext
+    # F opened at lane l-1 iff the prefix max is achieved by C[l-1]
+    C_prev = _shift_right(C, 1, NEG, roll_fn, jidx)
+    f_ext = Cm > C_prev
+    Hnew = jnp.maximum(Hno, F)
+    is_f = F > Hno
+    src = jnp.where(is_f, 3,
+                    jnp.where((diag == Hno) & (Hno > 0.0), 1,
+                              jnp.where((E == Hno) & (Hno > 0.0), 2, 0)))
+    code = (src + jnp.where(e_ext, 4, 0) + jnp.where(f_ext, 8, 0)) \
+        .astype(jnp.int32)
+    return Hnew, E, code
+
+
+def _tb_kernel(q_ref, wlo_ref, whi_ref, qlen_ref,
+               score_ref, qend_ref, lane_ref, bits_ref,
+               H_s, E_s, bH_s, bI_s,
+               *, match, mismatch, fg, ext):
+    BT = q_ref.shape[0]
+    blk = pl.program_id(1)
+    n_blk = pl.num_programs(1)
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (BT, BW), 1).astype(jnp.float32)
+    qlens = qlen_ref[:].astype(jnp.float32)
+    roll_fn = lambda x, d: pltpu.roll(x, shift=d, axis=1)
+
+    @pl.when(blk == 0)
+    def _():
+        H_s[:] = jnp.zeros((BT, BW), jnp.float32)
+        E_s[:] = jnp.full((BT, BW), NEG, jnp.float32)
+        bH_s[:] = jnp.full((BT, BW), NEG, jnp.float32)
+        bI_s[:] = jnp.zeros((BT, BW), jnp.float32)
+
+    base_i = jnp.float32(blk * 128)
+
+    def body(s_i, carry):
+        H, E, bestH, bestI, qblk, wlo, whi, pack = carry
+        qcol = qblk[:, 0:1]
+        wsl = jnp.where(jidx < jnp.float32(128) - s_i.astype(jnp.float32),
+                        wlo, whi)
+        eq = (wsl == qcol) & (qcol < 4) & (wsl < 4)
+        s = jnp.where(eq, float(match), float(mismatch))
+        H, E, code = _tb_step(H, E, s, jidx, fg, ext, roll_fn)
+        gi = base_i + s_i.astype(jnp.float32)
+        upd = (H > bestH) & (gi < qlens)      # qlens is (BT, 1)
+        bestH = jnp.where(upd, H, bestH)
+        bestI = jnp.where(upd, gi, bestI)
+        sub = jnp.mod(s_i, 8)
+        shift = sub * 4
+        pack = jnp.where(sub == 0, code, pack | (code << shift))
+
+        @pl.when(sub == 7)
+        def _():
+            r = s_i // 8
+            bits_ref[:, pl.ds(r, 1), :] = pack[:, None, :]
+
+        qblk = pltpu.roll(qblk, shift=127, axis=1)
+        wlo = pltpu.roll(wlo, shift=127, axis=1)
+        whi = pltpu.roll(whi, shift=127, axis=1)
+        return (H, E, bestH, bestI, qblk, wlo, whi, pack)
+
+    carry = (H_s[:], E_s[:], bH_s[:], bI_s[:], q_ref[:], wlo_ref[:],
+             whi_ref[:], jnp.zeros((BT, BW), jnp.int32))
+    H, E, bestH, bestI, _, _, _, _ = jax.lax.fori_loop(0, 128, body, carry)
+    H_s[:], E_s[:], bH_s[:], bI_s[:] = H, E, bestH, bestI
+
+    @pl.when(blk == n_blk - 1)
+    def _():
+        bh = bH_s[:]
+        score = jnp.max(bh, axis=1)
+        is_best = bh == score[:, None]
+        big = jnp.float32(1e9)
+        lane = jnp.min(jnp.where(is_best, jidx, big), axis=1)
+        qend = jnp.min(jnp.where(is_best, bI_s[:], big), axis=1)
+        score = jnp.maximum(score, 0.0)
+        none = score <= 0.0
+        score_ref[:] = score[:, None]
+        qend_ref[:] = jnp.where(none, 0.0, qend)[:, None].astype(jnp.int32)
+        lane_ref[:] = jnp.where(none, 0.0, lane)[:, None].astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('match', 'mismatch', 'fg', 'ext', 'BT'))
+def _tb_pallas(q, w, qlens, *, match, mismatch, fg, ext, BT=DEF_BT):
+    N0, Lq = q.shape
+    assert Lq % 128 == 0 and w.shape[1] == Lq + 256
+    N = ((N0 + BT - 1) // BT) * BT
+    if N != N0:
+        q = jnp.pad(q, [(0, N - N0), (0, 0)], constant_values=4)
+        w = jnp.pad(w, [(0, N - N0), (0, 0)], constant_values=4)
+        qlens = jnp.pad(qlens, [(0, N - N0)])
+    n_blk = Lq // 128
+    kernel = functools.partial(_tb_kernel, match=match, mismatch=mismatch,
+                               fg=fg, ext=ext)
+    score, qend, lane, bits = pl.pallas_call(
+        kernel,
+        grid=(N // BT, n_blk),
+        in_specs=[
+            pl.BlockSpec((BT, 128), lambda b, s: (b, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 128), lambda b, s: (b, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 128), lambda b, s: (b, s + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 1), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BT, 1), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 1), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 1), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 16, BW), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((N, n_blk * 16, BW), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((BT, BW), jnp.float32) for _ in range(4)],
+    )(q, w, w, qlens.astype(jnp.int32)[:, None])
+    return score[:N0, 0], qend[:N0, 0], lane[:N0, 0], bits[:N0]
+
+
+@functools.partial(jax.jit, static_argnames=('match', 'mismatch', 'fg',
+                                             'ext'))
+def _tb_jax(q, w, qlens, *, match, mismatch, fg, ext):
+    N, Lq = q.shape
+    jidx = jnp.broadcast_to(jnp.arange(BW, dtype=jnp.float32)[None, :],
+                            (N, BW))
+    roll_fn = lambda x, d: jnp.roll(x, d, axis=1)
+    gidx = jnp.arange(Lq)[:, None] + jnp.arange(BW)[None, :]
+    wins = jnp.transpose(w[:, gidx], (1, 0, 2))
+
+    def step(carry, inp):
+        H, E, bestH, bestI = carry
+        qcol, wsl, i = inp
+        eq = (wsl == qcol[:, None]) & (qcol[:, None] < 4) & (wsl < 4)
+        s = jnp.where(eq, float(match), float(mismatch))
+        H, E, code = _tb_step(H, E, s, jidx, fg, ext, roll_fn)
+        upd = (H > bestH) & ((i < qlens)[:, None])
+        bestH = jnp.where(upd, H, bestH)
+        bestI = jnp.where(upd, jnp.float32(i), bestI)
+        return (H, E, bestH, bestI), code
+
+    zeros = jnp.zeros((N, BW), jnp.float32)
+    init = (zeros, jnp.full((N, BW), NEG), jnp.full((N, BW), NEG), zeros)
+    (H, E, bestH, bestI), codes = jax.lax.scan(
+        step, init, (q.astype(jnp.int32).T, wins, jnp.arange(Lq)))
+    # pack 8 steps/word: codes (Lq, N, BW) -> (N, Lq//8, BW)
+    codes = jnp.transpose(codes, (1, 0, 2)).reshape(N, Lq // 8, 8, BW)
+    shifts = (jnp.arange(8, dtype=jnp.int32) * 4)[None, None, :, None]
+    bits = jnp.sum(codes << shifts, axis=2)
+    score = jnp.max(bestH, axis=1)
+    is_best = bestH == score[:, None]
+    big = jnp.float32(1e9)
+    lane = jnp.min(jnp.where(is_best, jidx, big), axis=1)
+    qend = jnp.min(jnp.where(is_best, bestI, big), axis=1)
+    score = jnp.maximum(score, 0.0)
+    none = score <= 0.0
+    return (score, jnp.where(none, 0, qend).astype(jnp.int32),
+            jnp.where(none, 0, lane).astype(jnp.int32), bits)
+
+
+def banded_sw_tb(q, w, qlens, scoring: ScoringConfig,
+                 backend: str | None = None):
+    """Banded SW emitting traceback bits.  Returns (score, qend, lane,
+    bits) with bits (N, Lq//8, BW) int32."""
+    kw = dict(match=float(scoring.match), mismatch=float(scoring.mismatch),
+              fg=first_gap_cost(scoring), ext=float(scoring.gap_extend))
+    q = jnp.asarray(q, jnp.int32)
+    w = jnp.asarray(w, jnp.int32)
+    qlens = jnp.asarray(qlens, jnp.int32)
+    if backend == 'pallas_interpret':
+        with pltpu.force_tpu_interpret_mode():
+            return _tb_pallas(q, w, qlens, **kw)
+    if backend == 'jax' or (backend is None
+                            and jax.default_backend() != 'tpu'):
+        return _tb_jax(q, w, qlens, **kw)
+    return _tb_pallas(q, w, qlens, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Lockstep path walk (host, vectorized over alignments)
+# ---------------------------------------------------------------------------
+
+# op codes emitted by the walk
+OP_M, OP_I, OP_D = 0, 1, 2
+_OP_CHARS = 'MID'
+
+
+def walk_paths(bits: np.ndarray, qend: np.ndarray, lane: np.ndarray,
+               max_steps: int | None = None):
+    """Trace back all alignments in lockstep.
+
+    Args:
+      bits: (N, Lq//8, BW) int32 packed codes.
+      qend, lane: (N,) end cell per alignment.
+    Returns:
+      ops: (N, T) uint8 op codes (OP_M/I/D), emitted end->start, padded 255;
+      n_ops: (N,) number of valid steps;
+      qstart, lstart: (N,) start cell of each path.
+    """
+    bits = np.asarray(bits)
+    N = bits.shape[0]
+    Lq = bits.shape[1] * 8
+    if max_steps is None:
+        max_steps = Lq + BW
+    i = np.asarray(qend).astype(np.int64).copy()
+    l = np.asarray(lane).astype(np.int64).copy()
+    state = np.zeros(N, np.int8)          # 0=H, 1=E, 2=F
+    active = np.ones(N, bool)
+    ops = np.full((N, max_steps), 255, np.uint8)
+    n_ops = np.zeros(N, np.int64)
+    rows = np.arange(N)
+    for step in range(max_steps):
+        if not active.any():
+            break
+        ii = np.clip(i, 0, Lq - 1)
+        ll = np.clip(l, 0, BW - 1)
+        word = bits[rows, ii >> 3, ll]
+        code = (word >> ((ii & 7) * 4)) & 15
+        src = code & 3
+        e_ext = (code & 4) != 0
+        f_ext = (code & 8) != 0
+
+        is_h = active & (state == 0)
+        stop = is_h & (src == 0)
+        diag = is_h & (src == 1)
+        to_e = is_h & (src == 2)
+        to_f = is_h & (src == 3)
+        in_e = active & (state == 1)
+        in_f = active & (state == 2)
+
+        emit = np.full(N, 255, np.uint8)
+        emit[diag] = OP_M
+        emit[in_e] = OP_I
+        emit[in_f] = OP_D
+        do_emit = emit != 255
+        ops[rows[do_emit], n_ops[do_emit]] = emit[do_emit]
+        n_ops[do_emit] += 1
+
+        # transitions
+        state[to_e] = 1
+        state[to_f] = 2
+        # moves for cells just consumed
+        i[diag] -= 1                      # lane unchanged
+        i[in_e] -= 1
+        l[in_e] += 1
+        l[in_f] -= 1
+        # gap state continuation decided by the consumed cell's ext bit
+        back_h_e = in_e & ~e_ext
+        back_h_f = in_f & ~f_ext
+        state[back_h_e | back_h_f] = 0
+        active = active & ~stop & (i >= -1)
+        # a path that walked past row 0 is complete
+        active &= i >= 0
+    return ops, n_ops, i, l
+
+
+def ops_to_cigar(ops_row: np.ndarray, n: int) -> list[tuple[int, str]]:
+    """Run-length encode one reversed op row into CIGAR tuples
+    (start->end order)."""
+    if n == 0:
+        return []
+    seq = ops_row[:n][::-1]
+    out = []
+    prev = int(seq[0])
+    run = 1
+    for v in seq[1:]:
+        v = int(v)
+        if v == prev:
+            run += 1
+        else:
+            out.append((run, _OP_CHARS[prev]))
+            prev = v
+            run = 1
+    out.append((run, _OP_CHARS[prev]))
+    return out

@@ -147,6 +147,10 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
                                       backend=backend, masked=masked)
 
         # BAM output (io/bam.py; replaces bwa|dodi|samtools pipeline)
+        cigars = None
+        if config.exact_cigars and len(aln):
+            cigars = align_stage.compute_cigars(aln, seqs, ref, config,
+                                                backend)
         records = []
         from fslr_tpu.encode import revcomp_str
         for i in range(len(aln)):
@@ -155,10 +159,21 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
             rev = bool(aln.strand_rev[i])
             flag = (16 if rev else 0) | (0 if pri else 2048)
             rspan = int(aln.rend[i]) - int(aln.rstart[i]) + 1
-            cig = bamio.approx_cigar(int(aln.qstart_o[i]),
-                                     int(aln.qend_o[i]),
-                                     int(aln.qlen[i]), rspan,
-                                     hard_clips=not pri)
+            core = cigars[i] if cigars is not None else None
+            if core is not None:
+                clip = 'S' if pri else 'H'
+                cig = []
+                if int(aln.qstart_o[i]) > 0:
+                    cig.append((int(aln.qstart_o[i]), clip))
+                cig += core
+                tail = int(aln.qlen[i]) - int(aln.qend_o[i])
+                if tail > 0:
+                    cig.append((tail, clip))
+            else:
+                cig = bamio.approx_cigar(int(aln.qstart_o[i]),
+                                         int(aln.qend_o[i]),
+                                         int(aln.qlen[i]), rspan,
+                                         hard_clips=not pri)
             seq = ''
             qual = None
             if pri:
@@ -207,5 +222,12 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
         res.representative_bed.to_csv(
             f'{basename}.mappings.representative.bed', index=False,
             sep='\t')
+
+        if config.run_consensus:
+            print('Creating consensus sequences')
+            from fslr_tpu.stages import consensus as consensus_stage
+            ref, sidx = _load_indexed(config.ref, config.align.seed_k)
+            consensus_stage.run_consensus_stage(
+                res.subgraphs, bed_file, ref, sidx, panel, config, backend)
 
     print('fslr finished')

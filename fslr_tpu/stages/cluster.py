@@ -300,6 +300,7 @@ class ClusterResult:
     cluster_bed: pd.DataFrame | None
     representative_bed: pd.DataFrame | None
     no_clusters: bool
+    subgraphs: list | None = None
 
 
 def cluster_stage(bed_file: pd.DataFrame, chromosome_lengths: dict,
@@ -336,7 +337,7 @@ def cluster_stage(bed_file: pd.DataFrame, chromosome_lengths: dict,
 
     n_nodes = len(node_pos)
     if len(subgraphs) == n_nodes:       # true iff no edges
-        return ClusterResult(None, None, True)
+        return ClusterResult(None, None, True, subgraphs)
 
     subg_df = pd.DataFrame(subgraphs).T
     subg_long = pd.melt(subg_df, var_name='cluster',
@@ -359,4 +360,4 @@ def cluster_stage(bed_file: pd.DataFrame, chromosome_lengths: dict,
 
     bed_file = chrom_to_str(bed_file, cmap)
     rep = choose_alignment(bed_file)
-    return ClusterResult(bed_file, rep, False)
+    return ClusterResult(bed_file, rep, False, subgraphs)

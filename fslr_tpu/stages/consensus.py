@@ -1,0 +1,167 @@
+"""Consensus stage: per-cluster consensus -> re-filter -> re-align -> merge.
+
+Implements the reference's documented-but-disabled consensus/realign stage
+(README.rst:125-137; orchestration commented at main.py:259-330; helpers
+in consensus_seq.py):
+
+  * per-cluster FASTA ``{out}/cluster/consensus_seq/{name}.cluster{num}.
+    n_reads{n}.fa`` of member primary sequences (consensus_seq.py:6-29);
+  * consensus per cluster (ops/poa.py replacing abpoa), renamed
+    ``cluster:{num}.n_reads:{n}`` and concatenated into
+    ``{out}/cluster/{name}.cluster.consensus.fa`` (:32-37, main.py:267);
+  * the consensus FASTA re-enters the pipeline: junk filter -> primer ID ->
+    alignment (main.py:270-310) producing ``{name}.bwa_dodi_cons.bam``;
+  * clustered qnames are deleted from the original BAM, the consensus BAM
+    is merged in (consensus_seq.py:46-61), sorted, and a merged mapping
+    table ``{name}.mappings_merged.bed`` is written (main.py:311-330).
+
+Because the stage is disabled in the reference release, it is opt-in here
+(``--consensus`` / PipelineConfig via run flag).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+
+from fslr_tpu.config import PipelineConfig
+from fslr_tpu.io import bam as bamio
+from fslr_tpu.io.fastq import read_fastx
+from fslr_tpu.ops import poa
+from fslr_tpu.panel import PrimerPanel
+from fslr_tpu.stages import (align as align_stage, filter_junk,
+                             find_primers, mapping_table)
+
+
+def make_consensus_seq(subgraphs, out: str, name: str,
+                       bed_file: pd.DataFrame, config: PipelineConfig,
+                       backend: str | None = None) -> str:
+    """Write per-cluster FASTAs + consensus FASTA; returns consensus path."""
+    cons_dir = os.path.join(out, 'cluster', 'consensus_seq')
+    os.makedirs(cons_dir, exist_ok=True)
+
+    clusters = []
+    metas = []
+    for num, clust in enumerate(subgraphs):
+        seq_df = bed_file[bed_file['qname'].isin(clust)]
+        seq_df = seq_df[seq_df['seq'].astype(str).str.len() > 0][
+            ['qname', 'seq']]
+        n_reads = len(clust)
+        fa = os.path.join(cons_dir, f'{name}.cluster{num}.n_reads'
+                                    f'{n_reads}.fa')
+        with open(fa, 'w') as fh:
+            for _, row in seq_df.iterrows():
+                fh.write(f'>{row["qname"]}\n{row["seq"]}\n')
+        clusters.append(seq_df['seq'].tolist())
+        metas.append((num, n_reads))
+
+    cons_seqs = poa.consensus_sequences(clusters, config.consensus, backend)
+    cat_path = os.path.join(out, 'cluster', f'{name}.cluster.consensus.fa')
+    with open(cat_path, 'w') as fh:
+        for (num, n_reads), seq in zip(metas, cons_seqs):
+            cons_fa = os.path.join(
+                cons_dir, f'{name}.cluster{num}.n_reads{n_reads}.cons.fa')
+            with open(cons_fa, 'w') as cf:
+                cf.write(f'>cluster:{num}.n_reads:{n_reads}\n{seq}\n')
+            if seq:
+                fh.write(f'>cluster:{num}.n_reads:{n_reads}\n{seq}\n')
+    return cat_path
+
+
+def delete_alignments(input_bam, output_bam, qnames_to_delete):
+    names, lengths, records = bamio.read_bam(input_bam)
+    keep = [r for r in records if r.qname not in qnames_to_delete]
+    bamio.write_bam(output_bam, names, lengths, keep, sort_by_coord=False)
+
+
+def merge_bam_files(bam1, bam2, out_bam):
+    names, lengths, rec1 = bamio.read_bam(bam1)
+    names2, lengths2, rec2 = bamio.read_bam(bam2)
+    remap = {i: names.index(n) for i, n in enumerate(names2) if n in names}
+    for r in rec2:
+        if r.ref_id >= 0:
+            r.ref_id = remap.get(r.ref_id, -1)
+    bamio.write_bam(out_bam, names, lengths, rec1 + rec2)
+
+
+def run_consensus_stage(subgraphs, bed_file: pd.DataFrame, ref, sidx,
+                        panel: PrimerPanel, config: PipelineConfig,
+                        backend: str | None = None):
+    out = config.out
+    name = config.name
+    basename = os.path.join(out, name)
+    cluster_out = os.path.join(out, 'cluster')
+    os.makedirs(cluster_out, exist_ok=True)
+
+    cat_path = make_consensus_seq(subgraphs, out, name, bed_file, config,
+                                  backend)
+
+    # re-run the filtering front-end on the consensus FASTA
+    ccfg = config.replace(out=cluster_out)
+    filter_junk.run_file(cat_path, panel, ccfg, backend)
+    for pth in glob.glob(f'{cluster_out}/*filtered_junk.fq'):
+        find_primers.run_file(pth, panel, ccfg, backend)
+
+    qnames, seqs = [], []
+    for pth in sorted(glob.glob(f'{cluster_out}/*.primers_labelled.fq')):
+        for rec in read_fastx(pth):
+            qnames.append(rec.name)
+            seqs.append(rec.sequence)
+
+    cons_bam = f'{basename}.bwa_dodi_cons.bam'
+    aln = align_stage.align_batch(seqs, ref, sidx, config,
+                                  regions_path=config.regions,
+                                  backend=backend)
+    records = []
+    from fslr_tpu.encode import revcomp_str
+    for i in range(len(aln)):
+        ridx = int(aln.read_idx[i])
+        pri = bool(aln.is_primary[i])
+        rev = bool(aln.strand_rev[i])
+        rspan = int(aln.rend[i]) - int(aln.rstart[i]) + 1
+        cig = bamio.approx_cigar(int(aln.qstart_o[i]), int(aln.qend_o[i]),
+                                 int(aln.qlen[i]), rspan,
+                                 hard_clips=not pri)
+        seq = ''
+        if pri:
+            seq = seqs[ridx]
+            if rev:
+                seq = revcomp_str(seq)
+        records.append(bamio.BamRecord(
+            qname=qnames[ridx], flag=(16 if rev else 0) | (0 if pri
+                                                           else 2048),
+            ref_id=int(aln.chrom_idx[i]), pos=int(aln.rstart[i]),
+            mapq=int(aln.mapq[i]), cigar=cig, seq=seq, qual=None,
+            tags={'AS': int(aln.score[i])}))
+    bamio.write_bam(cons_bam, ref.names, ref.lengths, records)
+
+    # delete clustered reads from the original BAM, merge consensus in
+    clustered = set()
+    for clust in subgraphs:
+        clustered.update(clust)
+    delete_bam = f'{basename}.bwa_dodi_delete.bam'
+    merged_bam = f'{basename}.bwa_dodi_merged.bam'
+    delete_alignments(f'{basename}.bwa_dodi.bam', delete_bam, clustered)
+    merge_bam_files(delete_bam, cons_bam, merged_bam)
+
+    # merged mapping table: original rows for unclustered reads + the
+    # consensus reads' rows (mapping_info over the merged BAM,
+    # main.py:328-330)
+    cons_df = mapping_table.mapping_table(aln, qnames, seqs, ref.names,
+                                          config.regions, panel.seqs)
+    orig = pd.read_csv(f'{basename}.mappings.bed', sep='\t')
+    orig = orig[~orig['qname'].isin(clustered)]
+    merged = pd.concat([orig, cons_df], ignore_index=True)
+    merged = merged.sort_values(['n_alignments', 'qname', 'qstart'],
+                                ascending=[False, True, True])
+    mapping_table.write_mappings_bed(merged,
+                                     f'{basename}.mappings_merged.bed')
+
+    if not config.keep_temp:
+        for pth in (glob.glob(f'{cluster_out}/{name}.*.primers_labelled.fq')
+                    + [delete_bam, cons_bam]):
+            if os.path.exists(pth):
+                os.remove(pth)
+    return merged_bam

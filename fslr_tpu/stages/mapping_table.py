@@ -68,7 +68,11 @@ def mapping_table(aln: Alignments, qnames: list[str], seqs: list[str],
 
     for ridx, idxs in by_read.items():
         qname = qnames[ridx]
-        seq = seqs[ridx]
+        # BAM SEQ is 4-bit coded, so pysam get_forward_sequence (the
+        # reference's seq source, collect_mapping_info.py:51) is always
+        # uppercase even though the pipeline carries tantan-masked
+        # lowercase through the FASTQ stages.
+        seq = seqs[ridx].upper()
         pri_candidates = [i for i in idxs if aln.is_primary[i]]
         if len(pri_candidates) != 1:
             raise RuntimeError(f'primary flag problem for {qname}: '

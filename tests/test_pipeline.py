@@ -129,6 +129,52 @@ def test_pipeline_end_to_end(workdir):
     assert rep.groupby('cluster')['qname'].nunique().eq(1).all()
 
 
+def test_pipeline_exact_cigars(workdir):
+    """Primary CIGARs come from the traceback kernel: exact reads map as
+    pure soft-clip + match blocks."""
+    root, ref_path, fq_dir = workdir
+    out = str(root / 'out')
+    names, lengths, records = bamio.read_bam(
+        os.path.join(out, 'T.bwa_dodi.bam'))
+    pri = [r for r in records if not r.flag & 2304
+           and r.qname.startswith('g1r0')][0]
+    m_runs = [(n, op) for n, op in pri.cigar if op == 'M']
+    assert len(m_runs) == 1               # exact segment: single M run
+    assert not any(op in 'ID' for _, op in pri.cigar)
+    assert sum(n for n, op in pri.cigar if op in 'MIS') == len(pri.seq)
+
+
+def test_pipeline_consensus_stage(workdir):
+    root, ref_path, fq_dir = workdir
+    out = str(root / 'out_cons')
+    config = PipelineConfig(name='C', out=out, ref=ref_path,
+                            primers=('21q1', '17p6'), basecalled=fq_dir,
+                            run_consensus=True)
+    run_pipeline(config, backend='jax')
+    base = os.path.join(out, 'C')
+    cons_fa = os.path.join(out, 'cluster', 'C.cluster.consensus.fa')
+    assert os.path.exists(cons_fa)
+    from fslr_tpu.io.fastq import read_fastx
+    cons = list(read_fastx(cons_fa))
+    assert len(cons) == 2                  # two clusters
+    assert cons[0].name.startswith('cluster:')
+    # identical members -> consensus == member sequence (trimmed read)
+    bed = pd.read_csv(base + '.mappings.bed', sep='\t')
+    g1seq = bed[(bed['qname'].str.startswith('g1r0'))
+                & (bed['seq'].astype(str).str.len() > 1)]['seq'].iloc[0]
+    n4 = [c for c in cons if 'n_reads:4' in c.name][0]
+    assert n4.sequence == g1seq
+    # merged artifacts
+    assert os.path.exists(base + '.bwa_dodi_merged.bam')
+    merged = pd.read_csv(base + '.mappings_merged.bed', sep='\t')
+    assert merged['qname'].str.startswith('cluster:').any()
+    # clustered originals removed from the merged table
+    assert not merged['qname'].str.startswith('g1r').any()
+    _, _, mrecords = bamio.read_bam(base + '.bwa_dodi_merged.bam')
+    assert any(r.qname.startswith('cluster:') for r in mrecords)
+    assert not any(r.qname.startswith('g1r') for r in mrecords)
+
+
 def test_pipeline_skip_alignment_resume(workdir):
     root, ref_path, fq_dir = workdir
     out = str(root / 'out')
