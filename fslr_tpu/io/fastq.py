@@ -53,7 +53,43 @@ def _split_header(line: str) -> tuple[str, str | None]:
 
 
 def read_fastx(path: str) -> Iterator[FastxRecord]:
-    """Iterate records from a FASTQ/FASTA file (optionally gzipped)."""
+    """Iterate records from a FASTQ/FASTA file (optionally gzipped).
+
+    This is the string-record interface; batch consumers that want encoded
+    arrays without per-read string work should use the native columnar
+    parser (io/native.parse_fastx) directly.  Set FSLR_NATIVE=1 to route
+    this interface through the native parser too (it normalizes non-ACGT
+    symbols to N).
+    """
+    if os.environ.get('FSLR_NATIVE'):
+        try:
+            from fslr_tpu.io.native import parse_fastx
+            fa = parse_fastx(path)
+        except Exception:
+            fa = None
+        if fa is not None:
+            yield from _iter_native(fa)
+            return
+    yield from _read_fastx_py(path)
+
+
+_DECODE_TABLE = None
+
+
+def _iter_native(fa) -> Iterator[FastxRecord]:
+    global _DECODE_TABLE
+    import numpy as np
+    if _DECODE_TABLE is None:
+        _DECODE_TABLE = np.frombuffer(b'ACGTN', dtype=np.uint8)
+    for i in range(fa.n):
+        codes = fa.seq_codes(i)
+        raw = _DECODE_TABLE[codes] | (fa.lower_mask(i) << 5)
+        yield FastxRecord(name=fa.name(i),
+                          sequence=raw.tobytes().decode('ascii'),
+                          quality=fa.qual(i), comment=fa.comment(i))
+
+
+def _read_fastx_py(path: str) -> Iterator[FastxRecord]:
     with _open_text(path) as fh:
         first = fh.read(1)
         if not first:

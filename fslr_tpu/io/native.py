@@ -1,0 +1,136 @@
+"""ctypes bindings for the native host runtime (native/fslr_native.cpp).
+
+Builds the shared library on first use if g++ is available; callers fall
+back to the pure-Python reader when the library is unavailable, so the
+package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), 'native')
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(_NATIVE_DIR, 'libfslr_native.so')
+    if not os.path.exists(so):
+        try:
+            subprocess.run(['make', '-C', _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.fslr_fastx_parse.restype = ctypes.c_void_p
+    lib.fslr_fastx_parse.argtypes = [ctypes.c_char_p]
+    for fn in ('fslr_fastx_n', 'fslr_fastx_codes_len',
+               'fslr_fastx_names_len', 'fslr_fastx_quals_len',
+               'fslr_fastx_comments_len'):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.fslr_fastx_copy.restype = None
+    lib.fslr_fastx_copy.argtypes = [ctypes.c_void_p] * 10
+    lib.fslr_fastx_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return _LIB
+
+
+class FastxArrays:
+    """Columnar parse result: encoded codes + offsets, zero per-read
+    Python string work until a string is actually requested."""
+
+    __slots__ = ('n', 'codes', 'lower', 'seq_off', '_names', 'name_off',
+                 '_quals', 'qual_off', '_comments', 'comment_off')
+
+    def __init__(self, n, codes, lower, seq_off, names, name_off, quals,
+                 qual_off, comments, comment_off):
+        self.n = n
+        self.codes = codes
+        self.lower = lower
+        self.seq_off = seq_off
+        self._names = names
+        self.name_off = name_off
+        self._quals = quals
+        self.qual_off = qual_off
+        self._comments = comments
+        self.comment_off = comment_off
+
+    def name(self, i: int) -> str:
+        return self._names[self.name_off[i]:self.name_off[i + 1]].decode()
+
+    def qual(self, i: int) -> str | None:
+        if len(self._quals) == 0:
+            return None
+        q = self._quals[self.qual_off[i]:self.qual_off[i + 1]]
+        return q.decode() if q else None
+
+    def comment(self, i: int) -> str | None:
+        c = self._comments[self.comment_off[i]:self.comment_off[i + 1]]
+        return c.decode() if c else None
+
+    def seq_codes(self, i: int) -> np.ndarray:
+        return self.codes[self.seq_off[i]:self.seq_off[i + 1]]
+
+    def lower_mask(self, i: int) -> np.ndarray:
+        return self.lower[self.seq_off[i]:self.seq_off[i + 1]]
+
+    def length(self, i: int) -> int:
+        return int(self.seq_off[i + 1] - self.seq_off[i])
+
+
+def parse_fastx(path: str) -> FastxArrays | None:
+    """Native parse; returns None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.fslr_fastx_parse(path.encode())
+    if not h:
+        raise IOError(f'failed to read {path}')
+    try:
+        n = lib.fslr_fastx_n(h)
+        ncodes = lib.fslr_fastx_codes_len(h)
+        nnames = lib.fslr_fastx_names_len(h)
+        nquals = lib.fslr_fastx_quals_len(h)
+        ncom = lib.fslr_fastx_comments_len(h)
+        codes = np.empty(ncodes, np.uint8)
+        lower = np.empty(ncodes, np.uint8)
+        seq_off = np.empty(n + 1, np.int64)
+        names = np.empty(nnames, np.uint8)
+        name_off = np.empty(n + 1, np.int64)
+        quals = np.empty(max(nquals, 1), np.uint8)
+        qual_off = np.empty(n + 1, np.int64)
+        comments = np.empty(max(ncom, 1), np.uint8)
+        comment_off = np.empty(n + 1, np.int64)
+        lib.fslr_fastx_copy(
+            h,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lower.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            seq_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            names.ctypes.data_as(ctypes.c_char_p),
+            name_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            quals.ctypes.data_as(ctypes.c_char_p),
+            qual_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            comments.ctypes.data_as(ctypes.c_char_p),
+            comment_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return FastxArrays(int(n), codes, lower, seq_off,
+                           names.tobytes(), name_off,
+                           quals.tobytes()[:nquals], qual_off,
+                           comments.tobytes()[:ncom], comment_off)
+    finally:
+        lib.fslr_fastx_free(h)

@@ -1,0 +1,61 @@
+"""Native C++ FASTX parser tests (skipped when the toolchain is absent)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from fslr_tpu.encode import encode
+from fslr_tpu.io import fastq
+from fslr_tpu.io.native import parse_fastx
+
+
+def _native_or_skip(path):
+    fa = parse_fastx(path)
+    if fa is None:
+        pytest.skip('native library unavailable')
+    return fa
+
+
+def test_native_fastq_matches_python(tmp_path):
+    p = tmp_path / 'x.fastq'
+    p.write_text('@r1 comment here\nACGTNacgt\n+\nIIIIIIIII\n'
+                 '@r2\nGGGG\n+\nJJJJ\n')
+    fa = _native_or_skip(str(p))
+    recs = list(fastq._read_fastx_py(str(p)))
+    assert fa.n == len(recs) == 2
+    for i, rec in enumerate(recs):
+        assert fa.name(i) == rec.name
+        assert fa.comment(i) == rec.comment
+        assert fa.qual(i) == rec.quality
+        np.testing.assert_array_equal(fa.seq_codes(i), encode(rec.sequence))
+    np.testing.assert_array_equal(
+        fa.lower_mask(0), [0, 0, 0, 0, 0, 1, 1, 1, 1])
+
+
+def test_native_fasta_gz(tmp_path):
+    p = tmp_path / 'x.fa.gz'
+    with gzip.open(p, 'wt') as fh:
+        fh.write('>c1 desc\nACGT\nTTTT\n>c2\nNNNA\n')
+    fa = _native_or_skip(str(p))
+    assert fa.n == 2
+    assert fa.name(0) == 'c1' and fa.comment(0) == 'desc'
+    assert fa.length(0) == 8
+    assert fa.qual(0) is None
+    np.testing.assert_array_equal(fa.seq_codes(1), [4, 4, 4, 0])
+
+
+def test_native_large_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    p = tmp_path / 'big.fastq'
+    seqs = []
+    with open(p, 'w') as fh:
+        for i in range(500):
+            s = ''.join('ACGT'[c] for c in rng.integers(0, 4, 777))
+            seqs.append(s)
+            fh.write(f'@read{i}\n{s}\n+\n{"F" * 777}\n')
+    fa = _native_or_skip(str(p))
+    assert fa.n == 500
+    for i in (0, 250, 499):
+        np.testing.assert_array_equal(fa.seq_codes(i), encode(seqs[i]))
+        assert fa.name(i) == f'read{i}'
