@@ -89,6 +89,7 @@ class AlignConfig:
     max_kmer_occ: int = 64          # per-seed occurrence cap (bwa -c 1000 analog)
     band_width: int = 128           # diagonal band half-width for extension
     max_candidates: int = 16        # diagonal bands extended per read/strand
+    extension_margin: int = 256     # bp extended beyond the seed span
     min_chain_seeds: int = 2        # bands with fewer seeds are discarded
     min_band_span: int = 18         # min query span (bp) of a band's seeds
     scoring: ScoringConfig = dataclasses.field(

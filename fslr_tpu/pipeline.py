@@ -146,11 +146,10 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
                                       regions_path=config.regions,
                                       backend=backend, masked=masked)
 
-        # BAM output (io/bam.py; replaces bwa|dodi|samtools pipeline)
-        cigars = None
-        if config.exact_cigars and len(aln):
-            cigars = align_stage.compute_cigars(aln, seqs, ref, config,
-                                                backend)
+        # BAM output (io/bam.py; replaces bwa|dodi|samtools pipeline);
+        # exact CIGARs come from the extension traceback walk
+        cigars = aln.cigars if (config.exact_cigars
+                                and aln.cigars is not None) else None
         records = []
         from fslr_tpu.encode import revcomp_str
         for i in range(len(aln)):

@@ -52,6 +52,7 @@ class Alignments:
     mapq: np.ndarray
     is_primary: np.ndarray    # bool
     overlaps_region: np.ndarray  # bool (all False when no --regions)
+    cigars: list | None = None   # per-alignment core CIGAR ops (M/I/D)
 
     def __len__(self):
         return len(self.read_idx)
@@ -175,88 +176,97 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
                         continue
                     cand_rows.append((ridx, strand_rev,
                                       int(res['diag'][r, c]),
-                                      int(res['count'][r, c])))
+                                      int(res['count'][r, c]),
+                                      int(res['qmin'][r, c]),
+                                      int(res['qmax'][r, c])))
 
     if not cand_rows:
         return []
 
-    # ---- extension batches, grouped by read-length bucket -------------
+    # ---- extension: ONE traceback-kernel pass per candidate -----------
+    # Each candidate extends only the seed-supported query slice
+    # [qmin - margin, qmax + margin) (split segments don't pay for the
+    # whole read), and begins + CIGARs come from the traceback walk — no
+    # reverse pass, no separate CIGAR pass.
+    from fslr_tpu.ops import traceback as tbmod
+
+    margin = acfg.extension_margin
     all_aln = []      # dicts per candidate alignment
     by_bucket: dict[int, list[int]] = {}
-    for ci, (ridx, srev, dga, cnt) in enumerate(cand_rows):
-        L = _pad128(max(len(seqs[ridx]), 1))
-        by_bucket.setdefault(L, []).append(ci)
+    slices = []       # (qlo, qhi) per candidate
+    for ci, (ridx, srev, dga, cnt, qmn, qmx) in enumerate(cand_rows):
+        Lq = len(seqs[ridx])
+        qlo = max(0, qmn - margin)
+        qhi = min(Lq, qmx + margin)
+        slices.append((qlo, qhi))
+        SL = _pad128(max(qhi - qlo, 1))
+        by_bucket.setdefault(SL, []).append(ci)
 
-    for L, cidxs in sorted(by_bucket.items()):
-        N = len(cidxs)
-        WL = L + 256
-        q = np.full((N, L), 4, dtype=np.uint8)
-        qlens = np.zeros(N, dtype=np.int32)
-        ws = np.zeros(N, dtype=np.int64)
-        cmin = np.zeros(N, dtype=np.int64)
-        cmax = np.zeros(N, dtype=np.int64)
-        for r, ci in enumerate(cidxs):
-            ridx, srev, dga, cnt = cand_rows[ci]
-            f = enc_fwd[ridx]
-            codes = revcomp(f) if srev else f
-            q[r, :len(codes)] = codes[:L]
-            qlens[r] = min(len(codes), L)
-            w0 = dga - banded.BW // 2
-            ws[r] = w0
-            ci_ref = np.searchsorted(ref.offsets, dga + qlens[r] // 2,
-                                     side='right') - 1
-            ci_ref = min(max(ci_ref, 0), len(ref.names) - 1)
-            cmin[r] = contig_starts[ci_ref]
-            cmax[r] = contig_ends[ci_ref]
+    for SL, cidxs in sorted(by_bucket.items()):
+        WL = SL + 256
+        # chunk rows so traceback bits stay bounded (~SL*16 int32 per row)
+        rows_per = max(128, min(2048, (1 << 25) // max(SL * 16, 1)))
+        for off in range(0, len(cidxs), rows_per):
+            chunk = cidxs[off:off + rows_per]
+            N = len(chunk)
+            q = np.full((N, SL), 4, dtype=np.uint8)
+            qlens = np.zeros(N, dtype=np.int32)
+            ws = np.zeros(N, dtype=np.int64)
+            cmin = np.zeros(N, dtype=np.int64)
+            cmax = np.zeros(N, dtype=np.int64)
+            for r, ci in enumerate(chunk):
+                ridx, srev, dga, cnt, qmn, qmx = cand_rows[ci]
+                qlo, qhi = slices[ci]
+                f = enc_fwd[ridx]
+                codes = (revcomp(f) if srev else f)[qlo:qhi]
+                q[r, :len(codes)] = codes
+                qlens[r] = len(codes)
+                ws[r] = dga + qlo - banded.BW // 2
+                ci_ref = np.searchsorted(ref.offsets,
+                                         dga + (qlo + qhi) // 2,
+                                         side='right') - 1
+                ci_ref = min(max(ci_ref, 0), len(ref.names) - 1)
+                cmin[r] = contig_starts[ci_ref]
+                cmax[r] = contig_ends[ci_ref]
 
-        idx = ws[:, None] + np.arange(WL)[None, :]
-        valid = (idx >= cmin[:, None]) & (idx < cmax[:, None]) \
-            & (idx >= 0) & (idx < G)
-        w = np.where(valid, genome[np.clip(idx, 0, G - 1)], 4).astype(np.uint8)
+            idx = ws[:, None] + np.arange(WL)[None, :]
+            valid = (idx >= cmin[:, None]) & (idx < cmax[:, None]) \
+                & (idx >= 0) & (idx < G)
+            w = np.where(valid, genome[np.clip(idx, 0, G - 1)],
+                         4).astype(np.uint8)
 
-        score, qend, lane = banded.banded_sw(q, w, qlens, acfg.scoring,
-                                             backend=backend)
-        score = np.asarray(score)
-        qend = np.asarray(qend)
-        lane = np.asarray(lane)
-        rend = ws + qend + lane
+            score, qend, lane, bits = tbmod.banded_sw_tb(
+                q, w, qlens, acfg.scoring, backend=backend)
+            score = np.asarray(score)
+            qend = np.asarray(qend)
+            lane = np.asarray(lane)
+            ops, n_ops, i_fin, l_fin = tbmod.walk_paths(
+                np.asarray(bits), qend, lane)
 
-        # reverse pass for begins
-        rws = rend + (banded.BW - 1 - lane)
-        ridx2 = rws[:, None] - np.arange(WL)[None, :]
-        valid2 = (ridx2 >= cmin[:, None]) & (ridx2 < cmax[:, None]) \
-            & (ridx2 >= 0) & (ridx2 < G)
-        w2 = np.where(valid2, genome[np.clip(ridx2, 0, G - 1)],
-                      4).astype(np.uint8)
-        q2 = np.full((N, L), 4, dtype=np.uint8)
-        for r in range(N):
-            e = int(qend[r])
-            q2[r, :e + 1] = q[r, :e + 1][::-1]
-        q2lens = qend + 1
-        score2, qend2, lane2 = banded.banded_sw(q2, w2, q2lens, acfg.scoring,
-                                                backend=backend)
-        score2 = np.asarray(score2)
-        qbegin = qend - np.asarray(qend2)
-        rbegin = rws - (np.asarray(qend2) + np.asarray(lane2))
-
-        for r, ci in enumerate(cidxs):
-            ridx, srev, dga, cnt = cand_rows[ci]
-            if score[r] <= 0:
-                continue
-            Lq = len(seqs[ridx])
-            cidx_ref = int(np.searchsorted(ref.offsets, rbegin[r],
-                                           side='right') - 1)
-            cidx_ref = min(max(cidx_ref, 0), len(ref.names) - 1)
-            lo = int(ref.offsets[cidx_ref])
-            all_aln.append(dict(
-                read_idx=ridx, strand_rev=srev,
-                chrom_idx=cidx_ref,
-                rstart=int(rbegin[r]) - lo,
-                rend=int(rend[r]) - lo,
-                qstart_o=int(qbegin[r]),
-                qend_o=int(qend[r]) + 1,
-                qlen=Lq,
-                score=int(score[r])))
+            for r, ci in enumerate(chunk):
+                ridx, srev, dga, cnt, qmn, qmx = cand_rows[ci]
+                if score[r] <= 0:
+                    continue
+                qlo, qhi = slices[ci]
+                Lq = len(seqs[ridx])
+                qbegin_s = int(i_fin[r]) + 1
+                rbegin = int(ws[r]) + qbegin_s + int(l_fin[r])
+                rend = int(ws[r]) + int(qend[r]) + int(lane[r])
+                cidx_ref = int(np.searchsorted(ref.offsets, rbegin,
+                                               side='right') - 1)
+                cidx_ref = min(max(cidx_ref, 0), len(ref.names) - 1)
+                lo = int(ref.offsets[cidx_ref])
+                cigar = tbmod.ops_to_cigar(ops[r], int(n_ops[r]))
+                all_aln.append(dict(
+                    read_idx=ridx, strand_rev=srev,
+                    chrom_idx=cidx_ref,
+                    rstart=rbegin - lo,
+                    rend=rend - lo,
+                    qstart_o=qlo + qbegin_s,
+                    qend_o=qlo + int(qend[r]) + 1,
+                    qlen=Lq,
+                    score=int(score[r]),
+                    cigar=cigar))
 
     return all_aln
 
@@ -357,6 +367,7 @@ def _select_and_finalize(all_aln: list[dict], ref: Reference,
         is_primary=np.zeros(len(sel), bool),
         overlaps_region=np.array([a.get('overlaps_region', False)
                                   for a in sel], bool),
+        cigars=[a.get('cigar') for a in sel],
     )
     for r in reads:
         mask = out.read_idx == r
