@@ -200,7 +200,7 @@ def _banded_jax(q, w, qlens, *, match, mismatch, fg, ext):
     zeros = jnp.zeros((N, BW), jnp.float32)
     init = (zeros, jnp.full((N, BW), NEG), jnp.full((N, BW), NEG), zeros)
     (H, E, bestH, bestI), _ = jax.lax.scan(
-        step, init, (q.T, wins, jnp.arange(Lq)))
+        step, init, (q.T, wins, jnp.arange(Lq)), unroll=4)
     score = jnp.max(bestH, axis=1)
     is_best = bestH == score[:, None]
     big = jnp.float32(1e9)

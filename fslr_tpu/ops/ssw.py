@@ -135,7 +135,7 @@ def _sw_jax(q, t, qlens, tlens, *, match, mismatch, fg, ext):
     zeros = jnp.zeros((B, QP), jnp.float32)
     init = (zeros, jnp.full((B, QP), NEG), jnp.full((B, QP), NEG), zeros)
     (H, E, bestH, bestI), _ = jax.lax.scan(
-        step, init, (t.astype(jnp.int32).T, jnp.arange(T)))
+        step, init, (t.astype(jnp.int32).T, jnp.arange(T)), unroll=4)
     return _finalize(bestH, bestI, qmask, jidx)
 
 

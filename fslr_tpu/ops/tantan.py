@@ -70,7 +70,7 @@ def _mask_impl(seq, lens, P, start_total, end_p, decay, match_p, thresh):
 
     xT = seq.T  # (L, B)
     (_, _, win_final), (fb_all, fr_all) = jax.lax.scan(
-        fwd_step, (jnp.ones((B,)), jnp.zeros((B, P)), init_win), xT)
+        fwd_step, (jnp.ones((B,)), jnp.zeros((B, P)), init_win), xT, unroll=8)
 
     # Backward pass: beta_i(s) = sum_s' T(s,s') e_{s'}(i+1) beta_{i+1}(s'),
     # with beta_{L-1} = 1.  Scanning k = 0..L-1 (p = L-1-k), each step first
@@ -99,7 +99,7 @@ def _mask_impl(seq, lens, P, start_total, end_p, decay, match_p, thresh):
     # win_final from the forward pass is window(L) = [seq[L-1] ... seq[L-P]]
     init_b = (jnp.ones((B,)), jnp.ones((B, P)), win_final)
     (_, _, _), (bb_all, br_all) = jax.lax.scan(
-        bwd_step, init_b, (xT[::-1], back_cols[::-1]))
+        bwd_step, init_b, (xT[::-1], back_cols[::-1]), unroll=8)
     bb_all = bb_all[::-1]
     br_all = br_all[::-1]
 

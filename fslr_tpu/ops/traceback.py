@@ -198,7 +198,7 @@ def _tb_jax(q, w, qlens, *, match, mismatch, fg, ext):
     zeros = jnp.zeros((N, BW), jnp.float32)
     init = (zeros, jnp.full((N, BW), NEG), jnp.full((N, BW), NEG), zeros)
     (H, E, bestH, bestI), codes = jax.lax.scan(
-        step, init, (q.astype(jnp.int32).T, wins, jnp.arange(Lq)))
+        step, init, (q.astype(jnp.int32).T, wins, jnp.arange(Lq)), unroll=4)
     # pack 8 steps/word: codes (Lq, N, BW) -> (N, Lq//8, BW)
     codes = jnp.transpose(codes, (1, 0, 2)).reshape(N, Lq // 8, 8, BW)
     shifts = (jnp.arange(8, dtype=jnp.int32) * 4)[None, None, :, None]

@@ -240,7 +240,17 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
                 if different_lengths_or_alignments(itv, o, qlen_diff,
                                                    n_aln_diff):
                     continue
-                j, n_i = jmap[(query_key, o.qname)]
+                key = (query_key, o.qname)
+                if key not in jmap:
+                    # The edge cap's break re-orders some encounters vs the
+                    # cap-unaware phase-1 traversal, and greedy Jaccard is
+                    # role-dependent — compute the missing orientation
+                    # exactly on host (same greedy-first-match semantics).
+                    jmap[key] = jaccard.jaccard_host(
+                        as_tuples(query_intervals[query_key]),
+                        as_tuples(query_intervals[o.qname]),
+                        overlap_cutoff)
+                j, n_i = jmap[key]
                 if n_i == 0:
                     continue
                 target = (jaccard_cutoffs[n_i - 1]
