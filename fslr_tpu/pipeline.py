@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 
 from fslr_tpu.config import PipelineConfig
+from fslr_tpu.instrument import StageTimer
 from fslr_tpu.index import reference as refmod
 from fslr_tpu.io import bam as bamio
 from fslr_tpu.io.fastq import glob_input_files, read_fastx
@@ -79,6 +80,8 @@ def _merge_all(dst: dict, src: dict):
 def run_pipeline(config: PipelineConfig, backend: str | None = None):
     basename = os.path.join(config.out, config.name)
     print('Basename: ', basename, file=sys.stderr)
+    timer = StageTimer()
+    timer.start_profile()
 
     filter_counts = {
         'name': config.name, 'total_kept': 0, 'total_dropped': 0,
@@ -106,14 +109,16 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
             if os.path.getsize(pth) == 0:
                 raise ValueError(f"The file '{pth}' is empty.")
         for pth in fs:
-            c = filter_junk.run_file(pth, panel, config, backend)
+            with timer.stage('filter_junk'):
+                c = filter_junk.run_file(pth, panel, config, backend)
             _merge_existing(filter_counts, c)
 
         for pth in glob.glob(f'{config.out}/*filtered_junk.fq'):
             if os.path.getsize(pth) == 0:
                 print(f"WARNING: The file '{pth}' is empty.",
                       file=sys.stderr)
-            c = find_primers.run_file(pth, panel, config, backend)
+            with timer.stage('find_primers'):
+                c = find_primers.run_file(pth, panel, config, backend)
             _merge_all(filter_counts, c)
 
         print('Filter counts: ', filter_counts, file=sys.stderr)
@@ -126,7 +131,8 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
                 os.remove(pth)
 
         # ---- alignment + selection ------------------------------------
-        ref, sidx = _load_indexed(config.ref, config.align.seed_k)
+        with timer.stage('load_index'):
+            ref, sidx = _load_indexed(config.ref, config.align.seed_k)
         masked = None
         if config.reference_mask:
             mask_thread.join()
@@ -142,9 +148,10 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
                 seqs.append(rec.sequence)
                 quals.append(rec.quality)
 
-        aln = align_stage.align_batch(seqs, ref, sidx, config,
-                                      regions_path=config.regions,
-                                      backend=backend, masked=masked)
+        with timer.stage('align'):
+            aln = align_stage.align_batch(seqs, ref, sidx, config,
+                                          regions_path=config.regions,
+                                          backend=backend, masked=masked)
 
         # BAM output (io/bam.py; replaces bwa|dodi|samtools pipeline);
         # exact CIGARs come from the extension traceback walk
@@ -186,8 +193,9 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
                 ref_id=int(aln.chrom_idx[i]), pos=int(aln.rstart[i]),
                 mapq=int(aln.mapq[i]), cigar=cig, seq=seq, qual=qual,
                 tags={'AS': int(aln.score[i])}))
-        bamio.write_bam(f'{basename}.bwa_dodi.bam', ref.names, ref.lengths,
-                        records)
+        with timer.stage('bam_write'):
+            bamio.write_bam(f'{basename}.bwa_dodi.bam', ref.names,
+                            ref.lengths, records)
 
         if not config.keep_temp:
             for pth in glob.glob(f'{basename}_temp_ref.fa*'):
@@ -197,9 +205,11 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
 
         assert len(glob.glob(f'{basename}.bwa_dodi.bam')) == 1
 
-        df = mapping_table.mapping_table(
-            aln, qnames, seqs, ref.names, config.regions, panel.seqs)
-        mapping_table.write_mappings_bed(df, f'{basename}.mappings.bed')
+        with timer.stage('mapping_table'):
+            df = mapping_table.mapping_table(
+                aln, qnames, seqs, ref.names, config.regions, panel.seqs)
+            mapping_table.write_mappings_bed(df,
+                                             f'{basename}.mappings.bed')
 
         with open(f'{basename}.filter_counts_summary.csv', 'w') as fc:
             fc.write('Filter counts:' + '\n')
@@ -211,8 +221,9 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
         bed_file = pd.read_csv(f'{basename}.mappings.bed', sep='\t')
         chr_lengths = bamio.get_chromosome_lengths(
             f'{basename}.bwa_dodi.bam')
-        res = cluster_stage.cluster_stage(bed_file, chr_lengths,
-                                          config.cluster)
+        with timer.stage('clustering'):
+            res = cluster_stage.cluster_stage(bed_file, chr_lengths,
+                                              config.cluster)
         if res.no_clusters:
             print('No clusters were found.')
             return
@@ -225,8 +236,13 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
         if config.run_consensus:
             print('Creating consensus sequences')
             from fslr_tpu.stages import consensus as consensus_stage
-            ref, sidx = _load_indexed(config.ref, config.align.seed_k)
-            consensus_stage.run_consensus_stage(
-                res.subgraphs, bed_file, ref, sidx, panel, config, backend)
+            with timer.stage('load_index'):
+                ref, sidx = _load_indexed(config.ref, config.align.seed_k)
+            with timer.stage('consensus'):
+                consensus_stage.run_consensus_stage(
+                    res.subgraphs, bed_file, ref, sidx, panel, config,
+                    backend)
 
+    timer.stop_profile()
+    timer.report(f'{basename}.timings.json')
     print('fslr finished')
