@@ -34,7 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fslr_tpu.config import ScoringConfig
-from fslr_tpu.ops.ssw import NEG, _cummax_exclusive, _shift_right, first_gap_cost
+from fslr_tpu.ops.ssw import NEG, _cummax_exclusive, _shift_right, \
+    first_gap_cost, pad_rows_pow2
 
 BW = 128          # band width (lanes)
 DEF_BT = 256      # candidate-row tile
@@ -130,7 +131,7 @@ def _banded_pallas(q, w, qlens, *, match, mismatch, fg, ext, BT=DEF_BT):
     N0, Lq = q.shape
     assert Lq % 128 == 0
     assert w.shape[1] == Lq + 256
-    N = ((N0 + BT - 1) // BT) * BT
+    N = pad_rows_pow2(N0, BT)
     if N != N0:
         q = jnp.pad(q, [(0, N - N0), (0, 0)], constant_values=4)
         w = jnp.pad(w, [(0, N - N0), (0, 0)], constant_values=4)

@@ -82,11 +82,18 @@ def jaccard_pairs(lists1, lists2, percentage: float, M: int = 32):
             c1[n, i], s1[n, i], e1[n, i], z1[n, i], v1[n, i] = c, s, e, z, 1
         for i, (c, s, e, z) in enumerate(l2):
             c2[n, i], s2[n, i], e2[n, i], z2[n, i], v2[n, i] = c, s, e, z, 1
+    from fslr_tpu.ops.ssw import pad_rows_pow2
+    NP = pad_rows_pow2(N, 8)
+    if NP != N:
+        pads = [(0, NP - N)]
+        c1, s1, e1, z1, v1, c2, s2, e2, z2, v2, len1, len2 = (
+            np.pad(x, pads + [(0, 0)] * (x.ndim - 1))
+            for x in (c1, s1, e1, z1, v1, c2, s2, e2, z2, v2, len1, len2))
     j, inter = _jaccard_impl(*(jnp.asarray(x) for x in
                                (c1, s1, e1, z1, v1, c2, s2, e2, z2, v2,
                                 len1, len2)), float(percentage), M)
-    j = np.asarray(j).copy()
-    inter = np.asarray(inter).copy()
+    j = np.asarray(j)[:N].copy()
+    inter = np.asarray(inter)[:N].copy()
     for n in overflow:
         j[n], inter[n] = jaccard_host(lists1[n], lists2[n], percentage)
     return j, inter

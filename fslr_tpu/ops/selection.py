@@ -98,8 +98,26 @@ def select_alignments(qstart, qend, score, valid, *, ol_cost=2,
     ``bias``: optional (B, C) multiplier applied to scores for selection
     only (region bias, reference main.py:63 + README.rst:195-197).
     """
+    import numpy as _np
+
+    from fslr_tpu.ops.ssw import pad_rows_pow2
+
     score = jnp.asarray(score, jnp.float32)
     s_sel = score if bias is None else score * jnp.asarray(bias, jnp.float32)
     valid = jnp.asarray(valid) & (score >= min_score)
-    return _select_impl(jnp.asarray(qstart), jnp.asarray(qend), s_sel,
-                        valid, float(ol_cost), float(max_overlap))
+    qstart = jnp.asarray(qstart)
+    qend = jnp.asarray(qend)
+    # shape discipline: pad rows/slots to powers of two so varying batch
+    # sizes reuse compiled shapes
+    B0, C0 = qstart.shape
+    B = pad_rows_pow2(B0, 8)
+    C = pad_rows_pow2(C0, 8)
+    if (B, C) != (B0, C0):
+        pads = [(0, B - B0), (0, C - C0)]
+        qstart = jnp.pad(qstart, pads)
+        qend = jnp.pad(qend, pads)
+        s_sel = jnp.pad(s_sel, pads, constant_values=-1e30)
+        valid = jnp.pad(valid, pads)
+    out = _select_impl(qstart, qend, s_sel, valid, float(ol_cost),
+                       float(max_overlap))
+    return out[:B0, :C0]

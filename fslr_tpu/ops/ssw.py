@@ -54,6 +54,18 @@ DEF_BT = 256      # batch tile (sublanes)
 DEF_TT = 512      # target tile
 
 
+
+
+def pad_rows_pow2(n: int, minimum: int = 256) -> int:
+    """Next power-of-two row count (>= minimum): strict shape discipline so
+    varying batch sizes reuse a handful of compiled kernel shapes instead
+    of recompiling per batch (remote Pallas compiles cost 20-60 s)."""
+    m = minimum
+    while m < n:
+        m *= 2
+    return m
+
+
 def first_gap_cost(sc: ScoringConfig) -> float:
     return float(sc.gap_open if sc.gap_open_is_first_base
                  else sc.gap_open + sc.gap_extend)
@@ -218,7 +230,7 @@ def _pad_to(x, n, fill):
 def _sw_pallas(q, t, qlens, tlens, *, match, mismatch, fg, ext,
                BT=DEF_BT, TT=DEF_TT):
     B0, T0 = t.shape
-    B = ((B0 + BT - 1) // BT) * BT
+    B = pad_rows_pow2(B0, BT)
     T = ((T0 + TT - 1) // TT) * TT
     # int8 narrow dynamic slices are unsupported by Mosaic; widen to int32.
     q = _pad_to(q.astype(jnp.int32), B, 4)

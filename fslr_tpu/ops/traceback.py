@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fslr_tpu.config import ScoringConfig
 from fslr_tpu.ops.ssw import NEG, _cummax_exclusive, _shift_right, \
-    first_gap_cost
+    first_gap_cost, pad_rows_pow2
 from fslr_tpu.ops.banded import BW, _shift_left
 
 DEF_BT = 128
@@ -132,7 +132,7 @@ def _tb_kernel(q_ref, wlo_ref, whi_ref, qlen_ref,
 def _tb_pallas(q, w, qlens, *, match, mismatch, fg, ext, BT=DEF_BT):
     N0, Lq = q.shape
     assert Lq % 128 == 0 and w.shape[1] == Lq + 256
-    N = ((N0 + BT - 1) // BT) * BT
+    N = pad_rows_pow2(N0, BT)
     if N != N0:
         q = jnp.pad(q, [(0, N - N0), (0, 0)], constant_values=4)
         w = jnp.pad(w, [(0, N - N0), (0, 0)], constant_values=4)

@@ -58,6 +58,9 @@ class Alignments:
         return len(self.read_idx)
 
 
+_SLICE_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+
+
 def _pad128(n):
     return ((n + 127) // 128) * 128
 
@@ -151,11 +154,13 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
                 enc_fwd[i] = f
             rc = [revcomp(f) for f in fwd]
             both = fwd + rc
-            arr = np.full((len(both), L), 4, dtype=np.uint8)
-            lens = np.zeros(len(both), dtype=np.int32)
+            # fixed batch shape (2*step rows) so seeding compiles once
+            arr = np.full((2 * step, L), 4, dtype=np.uint8)
+            lens = np.zeros(2 * step, dtype=np.int32)
             for r, c in enumerate(both):
-                arr[r, :len(c)] = c[:L]
-                lens[r] = min(len(c), L)
+                row = r if r < len(fwd) else step + (r - len(fwd))
+                arr[row, :len(c)] = c[:L]
+                lens[row] = min(len(c), L)
             res = seed.seed_candidates(
                 jnp.asarray(arr), jnp.asarray(lens), counts_j, pos_j,
                 k=k, stride=acfg.seed_stride,
@@ -163,9 +168,10 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
                 max_cand=acfg.max_candidates, S=S, C=acfg.max_kmer_occ)
             res = {kk: np.asarray(v) for kk, v in res.items()}
             nb = len(part)
-            for r in range(len(both)):
-                ridx = part[r % nb]
-                strand_rev = r >= nb
+            for rr in range(len(both)):
+                r = rr if rr < nb else step + (rr - nb)
+                ridx = part[rr % nb]
+                strand_rev = rr >= nb
                 for c in range(acfg.max_candidates):
                     if not res['valid'][r, c]:
                         continue
@@ -199,13 +205,15 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
         qlo = max(0, qmn - margin)
         qhi = min(Lq, qmx + margin)
         slices.append((qlo, qhi))
-        SL = _pad128(max(qhi - qlo, 1))
+        SL = bucket_length(max(qhi - qlo, 1), _SLICE_BUCKETS)
         by_bucket.setdefault(SL, []).append(ci)
 
     for SL, cidxs in sorted(by_bucket.items()):
         WL = SL + 256
         # chunk rows so traceback bits stay bounded (~SL*16 int32 per row)
         rows_per = max(128, min(2048, (1 << 25) // max(SL * 16, 1)))
+        # (row counts are padded to powers of two inside the kernel
+        # wrappers, so varying chunk sizes reuse compiled shapes)
         for off in range(0, len(cidxs), rows_per):
             chunk = cidxs[off:off + rows_per]
             N = len(chunk)
@@ -428,7 +436,7 @@ def compute_cigars(aln: Alignments, seqs: list[str], ref: Reference,
     by_bucket: dict[int, list[int]] = {}
     enc = {}
     for i in range(n):
-        L = _pad128(max(int(aln.qlen[i]), 1))
+        L = bucket_length(max(int(aln.qlen[i]), 1), _SLICE_BUCKETS)
         by_bucket.setdefault(L, []).append(i)
 
     for L, idxs in sorted(by_bucket.items()):

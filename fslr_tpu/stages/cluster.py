@@ -281,7 +281,7 @@ def get_subgraphs(edges, node_pos):
         names[pos] = name
     earr = np.array([[node_pos[a], node_pos[b]] for a, b in edges],
                     dtype=np.int32)
-    labels = np.asarray(components.connected_components(earr, n))
+    labels = np.asarray(components.connected_components_padded(earr, n))
     comp_order = []
     comp_members = {}
     for pos in range(n):

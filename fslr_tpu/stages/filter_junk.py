@@ -91,6 +91,8 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
         for off in range(0, len(idxs), step):
             part = idxs[off:off + step]
             seqs = [records[i].sequence for i in part]
+            # fixed batch shape (step rows) so the HMM compiles once
+            seqs = seqs + [''] * (step - len(part))
             seq, lens = batch_encode(seqs, L)
             m = np.asarray(tantan.repeat_mask(seq, lens, cfg))
             j = np.asarray(kmer_stats.junk_blocks(seq, lens, m, cfg))
