@@ -45,3 +45,21 @@ def test_sharded_matches_single_device():
                                       np.asarray(sharded[key]), err_msg=key)
     for key, v in single['counters'].items():
         assert int(v) == int(sharded['counters'][key]), key
+
+
+def test_distributed_cluster_merge():
+    """Per-shard edges all-gathered over the mesh give the same components
+    as a single-host computation."""
+    from fslr_tpu.ops.components import connected_components_padded
+    from fslr_tpu.parallel.cluster_merge import merged_components
+    from fslr_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    n_nodes = 64
+    all_edges = rng.integers(0, n_nodes, size=(40, 2)).astype(np.int32)
+    single = np.asarray(connected_components_padded(all_edges, n_nodes))
+
+    mesh = make_mesh(4)
+    shards = np.array_split(all_edges, 4)
+    merged = merged_components(mesh, shards, n_nodes, max_local_edges=16)
+    np.testing.assert_array_equal(single, merged)
