@@ -233,7 +233,108 @@ def banded_sw_tb(q, w, qlens, scoring: ScoringConfig,
 
 
 # ---------------------------------------------------------------------------
-# Lockstep path walk (host, vectorized over alignments)
+# Lockstep path walk — device version (ships ~T bytes/alignment instead of
+# the full bits tensor, which matters when the TPU sits behind a slow
+# tunnel) and a host/numpy version (CPU fallback + oracle).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('T',))
+def _walk_device(bits, qend, lane, T):
+    """Vectorized traceback on device.  bits (N, R, BW) int32.
+
+    Returns (emits (N, T) uint8 [255 = no emit, else OP_M/I/D], n_ops,
+    i_fin, l_fin) — the emit stream is sparse in step order (end->start);
+    use cigars_from_emits to compact + RLE.
+    """
+    N, R, BW_ = bits.shape
+    Lq = R * 8
+    flat = bits.reshape(-1)
+    rows = jnp.arange(N, dtype=jnp.int32)
+
+    def step(carry, _):
+        i, l, st, active = carry
+        ii = jnp.clip(i, 0, Lq - 1)
+        ll = jnp.clip(l, 0, BW_ - 1)
+        word = jnp.take(flat, (rows * R + (ii >> 3)) * BW_ + ll)
+        code = (word >> ((ii & 7) * 4)) & 15
+        src = code & 3
+        e_ext = (code & 4) != 0
+        f_ext = (code & 8) != 0
+        is_h = active & (st == 0)
+        stop = is_h & (src == 0)
+        diag = is_h & (src == 1)
+        to_e = is_h & (src == 2)
+        to_f = is_h & (src == 3)
+        in_e = active & (st == 1)
+        in_f = active & (st == 2)
+        emit = jnp.where(diag, OP_M,
+                         jnp.where(in_e, OP_I,
+                                   jnp.where(in_f, OP_D, 255)))
+        emit = emit.astype(jnp.uint8)
+        st = jnp.where(to_e, 1, jnp.where(to_f, 2, st))
+        st = jnp.where((in_e & ~e_ext) | (in_f & ~f_ext), 0, st)
+        i = i - (diag | in_e).astype(jnp.int32)
+        l = l + in_e.astype(jnp.int32) - in_f.astype(jnp.int32)
+        active = active & ~stop & (i >= 0)
+        return (i, l, st, active), emit
+
+    init = (qend.astype(jnp.int32), lane.astype(jnp.int32),
+            jnp.zeros(N, jnp.int8), jnp.ones(N, jnp.bool_))
+    (i, l, st, active), emits = jax.lax.scan(step, init, None, length=T,
+                                             unroll=4)
+    emits = emits.T                       # (N, T)
+    n_ops = jnp.sum(emits != 255, axis=1)
+    return emits, n_ops, i, l
+
+
+def cigars_from_emits(emits: np.ndarray, i_fin, l_fin):
+    """Compact sparse end->start emit streams into per-row CIGAR tuples
+    (start->end order), fully vectorized until the tiny per-run loop."""
+    N, T = emits.shape
+    rows_idx, cols_idx = np.nonzero(emits != 255)
+    codes = emits[rows_idx, cols_idx]
+    if len(codes) == 0:
+        return [[] for _ in range(N)], np.asarray(i_fin) + 1, np.asarray(
+            l_fin)
+    brk = np.empty(len(codes), bool)
+    brk[0] = True
+    brk[1:] = (rows_idx[1:] != rows_idx[:-1]) | (codes[1:] != codes[:-1])
+    starts = np.nonzero(brk)[0]
+    lengths = np.diff(np.append(starts, len(codes)))
+    run_rows = rows_idx[starts]
+    run_codes = codes[starts]
+    row_breaks = np.searchsorted(run_rows, np.arange(N + 1))
+    cigars = []
+    for r in range(N):
+        lo, hi = row_breaks[r], row_breaks[r + 1]
+        cig = [(int(lengths[k]), _OP_CHARS[run_codes[k]])
+               for k in range(hi - 1, lo - 1, -1)]     # reverse: end->start
+        cigars.append(cig)
+    return cigars, np.asarray(i_fin) + 1, np.asarray(l_fin)
+
+
+def walk_and_cigars(bits, qend, lane, backend: str | None = None):
+    """One-call traceback: returns (cigars, qstart, l_fin) per alignment.
+    ``bits`` may stay on device; only the compact emit stream is
+    transferred."""
+    if backend == 'jax' or (backend is None
+                            and jax.default_backend() != 'tpu'):
+        ops, n_ops, i_fin, l_fin = walk_paths(np.asarray(bits),
+                                              np.asarray(qend),
+                                              np.asarray(lane))
+        cigars = [ops_to_cigar(ops[r], int(n_ops[r]))
+                  for r in range(len(n_ops))]
+        return cigars, i_fin + 1, l_fin
+    N, R, BW_ = bits.shape
+    T = R * 8 + BW_
+    emits, n_ops, i_fin, l_fin = _walk_device(
+        jnp.asarray(bits), jnp.asarray(qend), jnp.asarray(lane), T)
+    return cigars_from_emits(np.asarray(emits), np.asarray(i_fin),
+                             np.asarray(l_fin))
+
+
+# ---------------------------------------------------------------------------
+# Host walker (numpy)
 # ---------------------------------------------------------------------------
 
 # op codes emitted by the walk

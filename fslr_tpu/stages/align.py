@@ -245,11 +245,13 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
 
             score, qend, lane, bits = tbmod.banded_sw_tb(
                 q, w, qlens, acfg.scoring, backend=backend)
+            # the walk runs on device so the big bits tensor is never
+            # transferred over the (slow) host link
+            cigars_c, qstart_c, l_fin = tbmod.walk_and_cigars(
+                bits, qend, lane, backend)
             score = np.asarray(score)
             qend = np.asarray(qend)
             lane = np.asarray(lane)
-            ops, n_ops, i_fin, l_fin = tbmod.walk_paths(
-                np.asarray(bits), qend, lane)
 
             for r, ci in enumerate(chunk):
                 ridx, srev, dga, cnt, qmn, qmx = cand_rows[ci]
@@ -257,14 +259,14 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
                     continue
                 qlo, qhi = slices[ci]
                 Lq = len(seqs[ridx])
-                qbegin_s = int(i_fin[r]) + 1
+                qbegin_s = int(qstart_c[r])
                 rbegin = int(ws[r]) + qbegin_s + int(l_fin[r])
                 rend = int(ws[r]) + int(qend[r]) + int(lane[r])
                 cidx_ref = int(np.searchsorted(ref.offsets, rbegin,
                                                side='right') - 1)
                 cidx_ref = min(max(cidx_ref, 0), len(ref.names) - 1)
                 lo = int(ref.offsets[cidx_ref])
-                cigar = tbmod.ops_to_cigar(ops[r], int(n_ops[r]))
+                cigar = cigars_c[r]
                 all_aln.append(dict(
                     read_idx=ridx, strand_rev=srev,
                     chrom_idx=cidx_ref,

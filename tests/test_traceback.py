@@ -76,3 +76,40 @@ def test_walk_empty_alignment():
     ops, n_ops, i_fin, l_fin = tb.walk_paths(bits, np.array([0]),
                                              np.array([0]))
     assert n_ops[0] == 0
+
+
+def test_device_walk_matches_host_walk():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    Lq = 256
+    N = 5
+    q = np.full((N, Lq), 4, np.uint8)
+    w = np.full((N, Lq + 256), 4, np.uint8)
+    qlens = np.zeros(N, np.int32)
+    for r in range(N):
+        read = random_seq(rng, 220)
+        seg = mutate(rng, read, sub=0.06, indel=0.04)
+        win = np.concatenate([random_seq(rng, 70), seg,
+                              random_seq(rng, Lq + 256)])[:Lq + 256]
+        q[r, :len(read)] = read
+        qlens[r] = len(read)
+        w[r] = win
+    score, qend, lane, bits = tb.banded_sw_tb(q, w, qlens, BWA_SC,
+                                              backend='jax')
+    # host path
+    ops, n_ops, i_fin, l_fin = tb.walk_paths(np.asarray(bits),
+                                             np.asarray(qend),
+                                             np.asarray(lane))
+    host_cigars = [tb.ops_to_cigar(ops[r], int(n_ops[r])) for r in range(N)]
+    # device path
+    T = bits.shape[1] * 8 + tb.BW
+    emits, n2, i2, l2 = tb._walk_device(jnp.asarray(bits),
+                                        jnp.asarray(qend),
+                                        jnp.asarray(lane), T)
+    dev_cigars, qstart2, lf2 = tb.cigars_from_emits(np.asarray(emits),
+                                                    np.asarray(i2),
+                                                    np.asarray(l2))
+    for r in range(N):
+        assert dev_cigars[r] == host_cigars[r], r
+        assert int(qstart2[r]) == int(i_fin[r]) + 1
+        assert int(lf2[r]) == int(l_fin[r])
