@@ -86,7 +86,8 @@ class AlignConfig:
 
     seed_k: int = 11                # bwa -k 11
     seed_stride: int = 3            # query positions sampled for seeding
-    max_kmer_occ: int = 64          # per-seed occurrence cap (bwa -c 1000 analog)
+    max_kmer_occ: int = 16          # per-seed hit cap (occurrences above
+                                    # this are sampled evenly; bwa -c analog)
     band_width: int = 128           # diagonal band half-width for extension
     max_candidates: int = 16        # diagonal bands extended per read/strand
     extension_margin: int = 256     # bp extended beyond the seed span

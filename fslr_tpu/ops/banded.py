@@ -126,8 +126,10 @@ def _banded_kernel(q_ref, wlo_ref, whi_ref, qlen_ref,
 @functools.partial(jax.jit,
                    static_argnames=('match', 'mismatch', 'fg', 'ext', 'BT'))
 def _banded_pallas(q, w, qlens, *, match, mismatch, fg, ext, BT=DEF_BT):
-    """q: (N, Lq) int32 codes; w: (N, Lq + 256) int32 window codes
-    (Lq multiple of 128); qlens: (N,)."""
+    """q: (N, Lq) codes; w: (N, Lq + 256) window codes (Lq multiple of
+    128); qlens: (N,).  Cast to int32 on device."""
+    q = q.astype(jnp.int32)
+    w = w.astype(jnp.int32)
     N0, Lq = q.shape
     assert Lq % 128 == 0
     assert w.shape[1] == Lq + 256
@@ -179,6 +181,8 @@ def _banded_pallas(q, w, qlens, *, match, mismatch, fg, ext, BT=DEF_BT):
 
 @functools.partial(jax.jit, static_argnames=('match', 'mismatch', 'fg', 'ext'))
 def _banded_jax(q, w, qlens, *, match, mismatch, fg, ext):
+    q = q.astype(jnp.int32)
+    w = w.astype(jnp.int32)
     N, Lq = q.shape
     jidx = jnp.broadcast_to(
         jnp.arange(BW, dtype=jnp.float32)[None, :], (N, BW))
@@ -218,8 +222,8 @@ def banded_sw(q, w, qlens, scoring: ScoringConfig, backend: str | None = None):
     window codes.  Returns (score, qend, lane), ends 0-based inclusive."""
     kw = dict(match=float(scoring.match), mismatch=float(scoring.mismatch),
               fg=first_gap_cost(scoring), ext=float(scoring.gap_extend))
-    q = jnp.asarray(q, jnp.int32)
-    w = jnp.asarray(w, jnp.int32)
+    q = jnp.asarray(q)          # uint8 upload; cast on device
+    w = jnp.asarray(w)
     qlens = jnp.asarray(qlens, jnp.int32)
     if backend == 'pallas_interpret':
         with pltpu.force_tpu_interpret_mode():

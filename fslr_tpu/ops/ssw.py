@@ -229,13 +229,16 @@ def _pad_to(x, n, fill):
                    static_argnames=('match', 'mismatch', 'fg', 'ext', 'BT', 'TT'))
 def _sw_pallas(q, t, qlens, tlens, *, match, mismatch, fg, ext,
                BT=DEF_BT, TT=DEF_TT):
+    # int8 narrow dynamic slices are unsupported by Mosaic; widen to
+    # int32 ON DEVICE (inputs stay uint8 so host->device transfer is 4x
+    # smaller over the TPU tunnel).
+    q = q.astype(jnp.int32)
+    t = t.astype(jnp.int32)
     B0, T0 = t.shape
     B = pad_rows_pow2(B0, BT)
     T = ((T0 + TT - 1) // TT) * TT
-    # int8 narrow dynamic slices are unsupported by Mosaic; widen to int32.
-    q = _pad_to(q.astype(jnp.int32), B, 4)
-    t = jnp.pad(t.astype(jnp.int32), [(0, B - B0), (0, T - T0)],
-                constant_values=4)
+    q = _pad_to(q, B, 4)
+    t = jnp.pad(t, [(0, B - B0), (0, T - T0)], constant_values=4)
     qlens = _pad_to(qlens.astype(jnp.int32)[:, None], B, 1)
     tlens = _pad_to(tlens.astype(jnp.int32)[:, None], B, 0)
     if q.shape[1] != QP:

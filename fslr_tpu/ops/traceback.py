@@ -34,7 +34,7 @@ from fslr_tpu.ops.ssw import NEG, _cummax_exclusive, _shift_right, \
     first_gap_cost, pad_rows_pow2
 from fslr_tpu.ops.banded import BW, _shift_left
 
-DEF_BT = 128
+DEF_BT = 256
 
 
 def _tb_step(H, E, s, jidx, fg, ext, roll_fn):
@@ -130,6 +130,8 @@ def _tb_kernel(q_ref, wlo_ref, whi_ref, qlen_ref,
 @functools.partial(jax.jit,
                    static_argnames=('match', 'mismatch', 'fg', 'ext', 'BT'))
 def _tb_pallas(q, w, qlens, *, match, mismatch, fg, ext, BT=DEF_BT):
+    q = q.astype(jnp.int32)
+    w = w.astype(jnp.int32)
     N0, Lq = q.shape
     assert Lq % 128 == 0 and w.shape[1] == Lq + 256
     N = pad_rows_pow2(N0, BT)
@@ -177,6 +179,8 @@ def _tb_pallas(q, w, qlens, *, match, mismatch, fg, ext, BT=DEF_BT):
 @functools.partial(jax.jit, static_argnames=('match', 'mismatch', 'fg',
                                              'ext'))
 def _tb_jax(q, w, qlens, *, match, mismatch, fg, ext):
+    q = q.astype(jnp.int32)
+    w = w.astype(jnp.int32)
     N, Lq = q.shape
     jidx = jnp.broadcast_to(jnp.arange(BW, dtype=jnp.float32)[None, :],
                             (N, BW))
@@ -220,8 +224,8 @@ def banded_sw_tb(q, w, qlens, scoring: ScoringConfig,
     bits) with bits (N, Lq//8, BW) int32."""
     kw = dict(match=float(scoring.match), mismatch=float(scoring.mismatch),
               fg=first_gap_cost(scoring), ext=float(scoring.gap_extend))
-    q = jnp.asarray(q, jnp.int32)
-    w = jnp.asarray(w, jnp.int32)
+    q = jnp.asarray(q)          # uint8 upload; cast on device (4x less
+    w = jnp.asarray(w)          # transfer over the TPU tunnel)
     qlens = jnp.asarray(qlens, jnp.int32)
     if backend == 'pallas_interpret':
         with pltpu.force_tpu_interpret_mode():
@@ -280,8 +284,7 @@ def _walk_device(bits, qend, lane, T):
 
     init = (qend.astype(jnp.int32), lane.astype(jnp.int32),
             jnp.zeros(N, jnp.int8), jnp.ones(N, jnp.bool_))
-    (i, l, st, active), emits = jax.lax.scan(step, init, None, length=T,
-                                             unroll=4)
+    (i, l, st, active), emits = jax.lax.scan(step, init, None, length=T)
     emits = emits.T                       # (N, T)
     n_ops = jnp.sum(emits != 255, axis=1)
     return emits, n_ops, i, l
