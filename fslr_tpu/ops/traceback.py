@@ -316,6 +316,64 @@ def cigars_from_emits(emits: np.ndarray, i_fin, l_fin):
     return cigars, np.asarray(i_fin) + 1, np.asarray(l_fin)
 
 
+@functools.partial(jax.jit, static_argnames=('match', 'mismatch', 'fg',
+                                             'ext', 'WL', 'use_pallas'))
+def _extend_walk_impl(q, qlens, ws, cmin, cmax, genome, *, match, mismatch,
+                      fg, ext, WL, use_pallas):
+    """Window gather + banded traceback extension + device walk, one jit.
+
+    Designed for a high-latency host<->device link: reference windows are
+    gathered from the device-resident genome (no window upload), and all
+    small results come back as ONE packed int32 array; only the compact
+    emit stream is a second transfer.
+    """
+    G = genome.shape[0]
+    idx = ws[:, None] + jnp.arange(WL, dtype=jnp.int32)[None, :]
+    valid = (idx >= cmin[:, None]) & (idx < cmax[:, None]) \
+        & (idx >= 0) & (idx < G)
+    w = jnp.where(valid, jnp.take(genome, jnp.clip(idx, 0, G - 1)),
+                  jnp.uint8(4))
+    kw = dict(match=match, mismatch=mismatch, fg=fg, ext=ext)
+    if use_pallas:
+        score, qend, lane, bits = _tb_pallas(q, w, qlens, **kw)
+    else:
+        score, qend, lane, bits = _tb_jax(q, w, qlens, **kw)
+    T = bits.shape[1] * 8 + bits.shape[2]
+    emits, n_ops, i_fin, l_fin = _walk_device(bits, qend, lane, T)
+    packed = jnp.stack([score.astype(jnp.int32), qend, lane,
+                        i_fin + 1, l_fin, n_ops.astype(jnp.int32)])
+    return packed, emits
+
+
+def banded_extend(q, qlens, ws, cmin, cmax, genome_dev,
+                  scoring: ScoringConfig, backend: str | None = None):
+    """Extension + traceback against device-resident genome windows.
+
+    Args: q (N, SL) uint8 read-slice codes; ws/cmin/cmax (N,) int32 global
+    window starts and contig bounds; genome_dev (G,) uint8 jax array.
+    Returns (score, qend, lane, qstart, l_fin, cigars) numpy/host values.
+    """
+    use_pallas = not (backend == 'jax' or (backend is None and
+                                           jax.default_backend() != 'tpu'))
+    kw = dict(match=float(scoring.match), mismatch=float(scoring.mismatch),
+              fg=first_gap_cost(scoring), ext=float(scoring.gap_extend),
+              WL=q.shape[1] + 256, use_pallas=use_pallas)
+    packed, emits = _extend_walk_impl(
+        jnp.asarray(q), jnp.asarray(qlens, jnp.int32),
+        jnp.asarray(ws, jnp.int32), jnp.asarray(cmin, jnp.int32),
+        jnp.asarray(cmax, jnp.int32), genome_dev, **kw)
+    return packed, emits          # still on device; finalize with
+                                  # finalize_extend after all dispatches
+
+
+def finalize_extend(packed, emits):
+    p = np.asarray(packed)
+    score, qend, lane, qstart, l_fin, n_ops = p
+    cigars, qs2, lf2 = cigars_from_emits(np.asarray(emits),
+                                         qstart - 1, l_fin)
+    return score, qend, lane, qstart, l_fin, cigars
+
+
 def walk_and_cigars(bits, qend, lane, backend: str | None = None):
     """One-call traceback: returns (cigars, qstart, l_fin) per alignment.
     ``bits`` may stay on device; only the compact emit stream is

@@ -143,6 +143,8 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
 
     cand_rows = []   # (read_idx, strand_rev, diag_anchor, count)
     enc_fwd: dict[int, np.ndarray] = {}
+    _KEYS = ('valid', 'count', 'diag', 'qmin', 'qmax')
+    seed_pending = []     # (part, step, nb, packed-device-array)
     for L, idxs in sorted(buckets.items()):
         S = max(1, (L - k) // acfg.seed_stride + 1)
         step = max(1, min(config.batch.batch_size,
@@ -166,25 +168,27 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
                 k=k, stride=acfg.seed_stride,
                 occ_drop=1000, band_w=acfg.band_width // 2,
                 max_cand=acfg.max_candidates, S=S, C=acfg.max_kmer_occ)
-            res = {kk: np.asarray(v) for kk, v in res.items()}
-            nb = len(part)
-            for rr in range(len(both)):
-                r = rr if rr < nb else step + (rr - nb)
-                ridx = part[rr % nb]
-                strand_rev = rr >= nb
-                for c in range(acfg.max_candidates):
-                    if not res['valid'][r, c]:
-                        continue
-                    if res['count'][r, c] < acfg.min_chain_seeds:
-                        continue
-                    span = res['qmax'][r, c] - res['qmin'][r, c]
-                    if span < acfg.min_band_span:
-                        continue
-                    cand_rows.append((ridx, strand_rev,
-                                      int(res['diag'][r, c]),
-                                      int(res['count'][r, c]),
-                                      int(res['qmin'][r, c]),
-                                      int(res['qmax'][r, c])))
+            # pack to ONE device array -> one host fetch per batch
+            packed = jnp.stack([res[kk].astype(jnp.int32) for kk in _KEYS])
+            seed_pending.append((part, step, len(part), packed))
+
+    for part, step, nb, packed in seed_pending:
+        p = np.asarray(packed)
+        valid_a, count_a, diag_a, qmin_a, qmax_a = p
+        for rr in range(2 * nb):
+            r = rr if rr < nb else step + (rr - nb)
+            ridx = part[rr % nb]
+            strand_rev = rr >= nb
+            for c in range(acfg.max_candidates):
+                if not valid_a[r, c]:
+                    continue
+                if count_a[r, c] < acfg.min_chain_seeds:
+                    continue
+                if qmax_a[r, c] - qmin_a[r, c] < acfg.min_band_span:
+                    continue
+                cand_rows.append((ridx, strand_rev, int(diag_a[r, c]),
+                                  int(count_a[r, c]), int(qmin_a[r, c]),
+                                  int(qmax_a[r, c])))
 
     if not cand_rows:
         return []
@@ -208,12 +212,15 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
         SL = bucket_length(max(qhi - qlo, 1), _SLICE_BUCKETS)
         by_bucket.setdefault(SL, []).append(ci)
 
+    # Phase A: dispatch every chunk (windows gathered on device from the
+    # device-resident genome; results stay on device).  Phase B: fetch the
+    # packed results.  Two transfers per chunk, overlapped by JAX's async
+    # dispatch — the TPU tunnel has ~300 ms per-transfer latency, so
+    # transfer count dominates at this batch size.
+    pending = []      # (chunk, ws, SL, device packed, device emits)
     for SL, cidxs in sorted(by_bucket.items()):
-        WL = SL + 256
         # chunk rows so traceback bits stay bounded (~SL*16 int32 per row)
         rows_per = max(128, min(2048, (1 << 25) // max(SL * 16, 1)))
-        # (row counts are padded to powers of two inside the kernel
-        # wrappers, so varying chunk sizes reuse compiled shapes)
         for off in range(0, len(cidxs), rows_per):
             chunk = cidxs[off:off + rows_per]
             N = len(chunk)
@@ -236,47 +243,36 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
                 ci_ref = min(max(ci_ref, 0), len(ref.names) - 1)
                 cmin[r] = contig_starts[ci_ref]
                 cmax[r] = contig_ends[ci_ref]
+            packed, emits = tbmod.banded_extend(
+                q, qlens, ws, cmin, cmax, genome_j, acfg.scoring, backend)
+            pending.append((chunk, ws, packed, emits))
 
-            idx = ws[:, None] + np.arange(WL)[None, :]
-            valid = (idx >= cmin[:, None]) & (idx < cmax[:, None]) \
-                & (idx >= 0) & (idx < G)
-            w = np.where(valid, genome[np.clip(idx, 0, G - 1)],
-                         4).astype(np.uint8)
-
-            score, qend, lane, bits = tbmod.banded_sw_tb(
-                q, w, qlens, acfg.scoring, backend=backend)
-            # the walk runs on device so the big bits tensor is never
-            # transferred over the (slow) host link
-            cigars_c, qstart_c, l_fin = tbmod.walk_and_cigars(
-                bits, qend, lane, backend)
-            score = np.asarray(score)
-            qend = np.asarray(qend)
-            lane = np.asarray(lane)
-
-            for r, ci in enumerate(chunk):
-                ridx, srev, dga, cnt, qmn, qmx = cand_rows[ci]
-                if score[r] <= 0:
-                    continue
-                qlo, qhi = slices[ci]
-                Lq = len(seqs[ridx])
-                qbegin_s = int(qstart_c[r])
-                rbegin = int(ws[r]) + qbegin_s + int(l_fin[r])
-                rend = int(ws[r]) + int(qend[r]) + int(lane[r])
-                cidx_ref = int(np.searchsorted(ref.offsets, rbegin,
-                                               side='right') - 1)
-                cidx_ref = min(max(cidx_ref, 0), len(ref.names) - 1)
-                lo = int(ref.offsets[cidx_ref])
-                cigar = cigars_c[r]
-                all_aln.append(dict(
-                    read_idx=ridx, strand_rev=srev,
-                    chrom_idx=cidx_ref,
-                    rstart=rbegin - lo,
-                    rend=rend - lo,
-                    qstart_o=qlo + qbegin_s,
-                    qend_o=qlo + int(qend[r]) + 1,
-                    qlen=Lq,
-                    score=int(score[r]),
-                    cigar=cigar))
+    for chunk, ws, packed, emits in pending:
+        score, qend, lane, qstart_c, l_fin, cigars_c = \
+            tbmod.finalize_extend(packed, emits)
+        for r, ci in enumerate(chunk):
+            ridx, srev, dga, cnt, qmn, qmx = cand_rows[ci]
+            if score[r] <= 0:
+                continue
+            qlo, qhi = slices[ci]
+            Lq = len(seqs[ridx])
+            qbegin_s = int(qstart_c[r])
+            rbegin = int(ws[r]) + qbegin_s + int(l_fin[r])
+            rend = int(ws[r]) + int(qend[r]) + int(lane[r])
+            cidx_ref = int(np.searchsorted(ref.offsets, rbegin,
+                                           side='right') - 1)
+            cidx_ref = min(max(cidx_ref, 0), len(ref.names) - 1)
+            lo = int(ref.offsets[cidx_ref])
+            all_aln.append(dict(
+                read_idx=ridx, strand_rev=srev,
+                chrom_idx=cidx_ref,
+                rstart=rbegin - lo,
+                rend=rend - lo,
+                qstart_o=qlo + qbegin_s,
+                qend_o=qlo + int(qend[r]) + 1,
+                qlen=Lq,
+                score=int(score[r]),
+                cigar=cigars_c[r]))
 
     return all_aln
 
