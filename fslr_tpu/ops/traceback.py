@@ -342,7 +342,14 @@ def _extend_walk_impl(q, qlens, ws, cmin, cmax, genome, *, match, mismatch,
     emits, n_ops, i_fin, l_fin = _walk_device(bits, qend, lane, T)
     packed = jnp.stack([score.astype(jnp.int32), qend, lane,
                         i_fin + 1, l_fin, n_ops.astype(jnp.int32)])
-    return packed, emits
+    # 2-bit pack the emit stream (codes 0/1/2, 3 = none): 4x less traffic
+    N = emits.shape[0]
+    e2 = jnp.where(emits == 255, 3, emits).astype(jnp.int32)
+    e2 = e2.reshape(N, T // 4, 4)
+    weights = jnp.array([1, 4, 16, 64], jnp.int32)
+    emits_packed = jnp.sum(e2 * weights[None, None, :],
+                           axis=2).astype(jnp.uint8)
+    return packed, emits_packed
 
 
 def banded_extend(q, qlens, ws, cmin, cmax, genome_dev,
@@ -366,11 +373,15 @@ def banded_extend(q, qlens, ws, cmin, cmax, genome_dev,
                                   # finalize_extend after all dispatches
 
 
-def finalize_extend(packed, emits):
+def finalize_extend(packed, emits_packed):
     p = np.asarray(packed)
     score, qend, lane, qstart, l_fin, n_ops = p
-    cigars, qs2, lf2 = cigars_from_emits(np.asarray(emits),
-                                         qstart - 1, l_fin)
+    ep = np.asarray(emits_packed)
+    N, T4 = ep.shape
+    e = ((ep[:, :, None] >> np.array([0, 2, 4, 6], np.uint8)) & 3)
+    e = e.reshape(N, T4 * 4).astype(np.uint8)
+    e[e == 3] = 255
+    cigars, qs2, lf2 = cigars_from_emits(e, qstart - 1, l_fin)
     return score, qend, lane, qstart, l_fin, cigars
 
 

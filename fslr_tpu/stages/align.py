@@ -219,8 +219,9 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
     # transfer count dominates at this batch size.
     pending = []      # (chunk, ws, SL, device packed, device emits)
     for SL, cidxs in sorted(by_bucket.items()):
-        # chunk rows so traceback bits stay bounded (~SL*16 int32 per row)
-        rows_per = max(128, min(2048, (1 << 25) // max(SL * 16, 1)))
+        # chunk rows so device-resident traceback bits stay bounded
+        # (~SL*16 int32 per row; bits never leave the device)
+        rows_per = max(128, min(8192, (1 << 28) // max(SL * 64, 1)))
         for off in range(0, len(cidxs), rows_per):
             chunk = cidxs[off:off + rows_per]
             N = len(chunk)
