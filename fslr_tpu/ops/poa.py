@@ -37,7 +37,24 @@ def _pad128(n):
 def consensus_sequences(clusters: list[list[str]], cfg: ConsensusConfig,
                         backend: str | None = None) -> list[str]:
     """clusters: list of member sequence lists (first member = backbone).
-    Returns one consensus string per cluster."""
+    Returns one consensus string per cluster.  After the first pileup, the
+    consensus replaces the backbone and members are re-piled
+    ``refine_iterations`` times (abpoa-style iterative refinement)."""
+    cons = _consensus_once(clusters, cfg, backend)
+    for _ in range(max(cfg.refine_iterations, 0)):
+        refined_in = []
+        for ci, members in enumerate(clusters):
+            members = [m for m in members if m]
+            if not members or not cons[ci]:
+                refined_in.append(members)
+            else:
+                refined_in.append([cons[ci]] + members)
+        cons = _consensus_once(refined_in, cfg, backend)
+    return cons
+
+
+def _consensus_once(clusters: list[list[str]], cfg: ConsensusConfig,
+                    backend: str | None = None) -> list[str]:
     sc = ScoringConfig(gap_open_is_first_base=False)
     jobs = []          # (cluster_idx, member_seq, backbone)
     backbones = []
