@@ -121,9 +121,21 @@ def run_consensus_stage(subgraphs, bed_file: pd.DataFrame, ref, sidx,
         pri = bool(aln.is_primary[i])
         rev = bool(aln.strand_rev[i])
         rspan = int(aln.rend[i]) - int(aln.rstart[i]) + 1
-        cig = bamio.approx_cigar(int(aln.qstart_o[i]), int(aln.qend_o[i]),
-                                 int(aln.qlen[i]), rspan,
-                                 hard_clips=not pri)
+        core = aln.cigars[i] if aln.cigars else None
+        if core is not None:
+            clip = 'S' if pri else 'H'
+            cig = []
+            if int(aln.qstart_o[i]) > 0:
+                cig.append((int(aln.qstart_o[i]), clip))
+            cig += core
+            tail = int(aln.qlen[i]) - int(aln.qend_o[i])
+            if tail > 0:
+                cig.append((tail, clip))
+        else:
+            cig = bamio.approx_cigar(int(aln.qstart_o[i]),
+                                     int(aln.qend_o[i]),
+                                     int(aln.qlen[i]), rspan,
+                                     hard_clips=not pri)
         seq = ''
         if pri:
             seq = seqs[ridx]

@@ -192,3 +192,47 @@ def test_unknown_primer_raises(workdir):
                             primers=('nope',), basecalled=fq_dir)
     with pytest.raises(ValueError):
         run_pipeline(config, backend='jax')
+
+
+def test_pipeline_masked_reference_and_multifile(tmp_path):
+    """--reference-mask double mapping + multiple input files + regions."""
+    rng = np.random.default_rng(99)
+    chrA = random_seq(rng, 300_000)
+    ref_path = tmp_path / 'ref.fa'
+    with open(ref_path, 'w') as fh:
+        fh.write('>chrA\n' + decode(chrA) + '\n')
+    mask_bed = tmp_path / 'mask.bed'
+    mask_bed.write_text('chrA\t100000\t140000\n')
+    regions_bed = tmp_path / 'regions.bed'
+    regions_bed.write_text('chrA\t110000\t130000\n')
+
+    t21 = PANEL.targets['21q1']
+    t17rc = revcomp_str(PANEL.targets['17p6'])
+    fq_dir = tmp_path / 'reads'
+    fq_dir.mkdir()
+    for f in range(2):
+        with open(fq_dir / f'b{f}.fastq', 'w') as fh:
+            for i in range(3):
+                seq = t21 + decode(chrA[115_000:116_200]) + t17rc
+                fh.write(f'@f{f}r{i}\n{seq}\n+\n{"I" * len(seq)}\n')
+    out = str(tmp_path / 'out')
+    config = PipelineConfig(name='M', out=out, ref=str(ref_path),
+                            primers=('21q1', '17p6'),
+                            basecalled=str(fq_dir),
+                            reference_mask=str(mask_bed),
+                            regions=str(regions_bed),
+                            skip_clustering=True)
+    run_pipeline(config, backend='jax')
+    bed = pd.read_csv(os.path.join(out, 'M.mappings.bed'), sep='\t')
+    assert len(set(bed['qname'].str.split('.').str[0])) == 6  # both files
+    assert 'overlaps_region' in bed.columns
+    genomic = bed[bed['inferred_by_primer'] == 0]
+    assert (genomic['overlaps_region'] == 1).all()
+    assert (genomic['chrom'] == 'chrA').all()
+    # masked temp ref cleaned up
+    assert not glob_temp(out)
+
+
+def glob_temp(out):
+    import glob as g
+    return g.glob(os.path.join(out, '*_temp_ref.fa*'))
