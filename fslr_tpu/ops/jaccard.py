@@ -99,6 +99,56 @@ def jaccard_pairs(lists1, lists2, percentage: float, M: int = 32):
     return j, inter
 
 
+def jaccard_pairs_indexed(pairs, chrom, start, end, size, valid, lens,
+                          percentage: float, M: int = 32,
+                          chunk: int = 1 << 18):
+    """Scale path: pair similarities via device-side gathers.
+
+    Args:
+      pairs: (N, 2) int32 read indices (l1 role first — greedy matching is
+        role-dependent).
+      chrom/start/end/size/valid: (R, M) per-read padded interval arrays.
+      lens: (R,) true interval counts (may exceed M; such reads are
+        handled exactly on host by the caller's fallback).
+    Returns (j, n_i) numpy arrays of length N.
+    """
+    import numpy as np
+    N = len(pairs)
+    if N == 0:
+        return np.zeros(0, np.float32), np.zeros(0, np.int32)
+    from fslr_tpu.ops.ssw import pad_rows_pow2
+    chrom_j = jnp.asarray(chrom)
+    start_j = jnp.asarray(start)
+    end_j = jnp.asarray(end)
+    size_j = jnp.asarray(size, jnp.float32)
+    valid_j = jnp.asarray(valid)
+    lens_j = jnp.asarray(lens, jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=('M',))
+    def run(p, M):
+        a = p[:, 0]
+        b = p[:, 1]
+        return _jaccard_impl(
+            chrom_j[a], start_j[a], end_j[a], size_j[a], valid_j[a],
+            chrom_j[b], start_j[b], end_j[b], size_j[b], valid_j[b],
+            lens_j[a], lens_j[b], float(percentage), M)
+
+    js = np.zeros(N, np.float32)
+    ns = np.zeros(N, np.int32)
+    pairs = np.asarray(pairs, np.int32)
+    for off in range(0, N, chunk):
+        part = pairs[off:off + chunk]
+        n0 = len(part)
+        npad = pad_rows_pow2(n0, 256)
+        if npad != n0:
+            part = np.concatenate(
+                [part, np.zeros((npad - n0, 2), np.int32)])
+        j, n_i = run(jnp.asarray(part), M)
+        js[off:off + n0] = np.asarray(j)[:n0]
+        ns[off:off + n0] = np.asarray(n_i)[:n0]
+    return js, ns
+
+
 def jaccard_host(l1, l2, percentage):
     """Exact host mirror (same greedy-first-match semantics)."""
     if not l1 or not l2:

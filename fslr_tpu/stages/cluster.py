@@ -193,29 +193,62 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
     def as_tuples(lst):
         return [(i.chrom, i.start, i.end, i.aln_size) for i in lst]
 
+    # integer read ids + per-read padded interval arrays (scale path:
+    # string-keyed sets and per-pair tuple lists thrash at 10k+ reads)
+    qnames_order = list(query_intervals.keys())
+    qid = {q: i for i, q in enumerate(qnames_order)}
+    R = len(qnames_order)
+    M = cfg.max_intervals_per_read
+    chrom_a = np.zeros((R, M), np.int32)
+    start_a = np.zeros((R, M), np.int32)
+    end_a = np.zeros((R, M), np.int32)
+    size_a = np.zeros((R, M), np.float32)
+    valid_a = np.zeros((R, M), bool)
+    lens_a = np.zeros(R, np.int32)
+    for q, lst in query_intervals.items():
+        r = qid[q]
+        lens_a[r] = len(lst)
+        for i, itv in enumerate(lst[:M]):
+            chrom_a[r, i] = itv.chrom
+            start_a[r, i] = itv.start
+            end_a[r, i] = itv.end
+            size_a[r, i] = itv.aln_size
+            valid_a[r, i] = True
+
     # phase 1: cap-unaware superset of candidate pairs, in encounter order
     seen = set()
     pair_list = []
     for query_key, list1 in query_intervals.items():
+        qa = qid[query_key]
         for itv in list1:
             for o in index.search(itv.chrom, itv.start, itv.end):
-                if o.qname == query_key:
+                qb = qid[o.qname]
+                if qb == qa:
                     continue
-                b = tuple(sorted((o.qname, query_key)))
-                if b in seen:
+                key = (qa * R + qb) if qa < qb else (qb * R + qa)
+                if key in seen:
                     continue
-                seen.add(b)
+                seen.add(key)
                 if different_lengths_or_alignments(itv, o, qlen_diff,
                                                    n_aln_diff):
                     continue
-                pair_list.append((query_key, o.qname))
+                pair_list.append((qa, qb))
 
-    l1s = [as_tuples(query_intervals[a]) for a, _ in pair_list]
-    l2s = [as_tuples(query_intervals[b]) for _, b in pair_list]
-    j_arr, n_arr = jaccard.jaccard_pairs(
-        l1s, l2s, overlap_cutoff, M=cfg.max_intervals_per_read)
-    jmap = {p: (float(j_arr[i]), int(n_arr[i]))
-            for i, p in enumerate(pair_list)}
+    pair_arr = np.asarray(pair_list, np.int32).reshape(-1, 2)
+    j_arr, n_arr = jaccard.jaccard_pairs_indexed(
+        pair_arr, chrom_a, start_a, end_a, size_a, valid_a,
+        np.minimum(lens_a, M), overlap_cutoff, M=M)
+    # reads with more than M intervals: exact host computation
+    over = set(np.nonzero(lens_a > M)[0].tolist())
+    if over:
+        for i, (qa, qb) in enumerate(pair_list):
+            if qa in over or qb in over:
+                j_arr[i], n_arr[i] = jaccard.jaccard_host(
+                    as_tuples(query_intervals[qnames_order[qa]]),
+                    as_tuples(query_intervals[qnames_order[qb]]),
+                    overlap_cutoff)
+    jmap = {(a, b): (float(j_arr[i]), int(n_arr[i]))
+            for i, (a, b) in enumerate(pair_list)}
 
     # phase 2: exact replay of the reference traversal with the edge cap
     seen = set()
@@ -228,19 +261,21 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
             node_pos[n] = len(node_pos)
 
     for query_key, list1 in query_intervals.items():
+        qa = qid[query_key]
         edge_count = 0
         for itv in list1:
             for o in index.search(itv.chrom, itv.start, itv.end):
-                if o.qname == query_key:
+                qb = qid[o.qname]
+                if qb == qa:
                     continue
-                b = tuple(sorted((o.qname, query_key)))
+                b = (qa * R + qb) if qa < qb else (qb * R + qa)
                 if b in seen:
                     continue
                 seen.add(b)
                 if different_lengths_or_alignments(itv, o, qlen_diff,
                                                    n_aln_diff):
                     continue
-                key = (query_key, o.qname)
+                key = (qa, qb)
                 if key not in jmap:
                     # The edge cap's break re-orders some encounters vs the
                     # cap-unaware phase-1 traversal, and greedy Jaccard is
