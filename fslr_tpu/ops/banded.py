@@ -34,8 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fslr_tpu.config import ScoringConfig
-from fslr_tpu.ops.ssw import NEG, _cummax_exclusive, _shift_right, \
-    first_gap_cost, pad_rows_pow2
+from fslr_tpu.ops.ssw import NEG, _cummax_exclusive, first_gap_cost, \
+    pad_rows_pow2
 
 BW = 128          # band width (lanes)
 DEF_BT = 256      # candidate-row tile

@@ -98,8 +98,6 @@ def select_alignments(qstart, qend, score, valid, *, ol_cost=2,
     ``bias``: optional (B, C) multiplier applied to scores for selection
     only (region bias, reference main.py:63 + README.rst:195-197).
     """
-    import numpy as _np
-
     from fslr_tpu.ops.ssw import pad_rows_pow2
 
     score = jnp.asarray(score, jnp.float32)

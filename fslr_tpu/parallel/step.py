@@ -23,8 +23,6 @@ Counters (reads kept / dropped by class) are psum'd over the mesh axis.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -32,7 +32,7 @@ import dataclasses
 import numpy as np
 
 from fslr_tpu.config import PipelineConfig
-from fslr_tpu.encode import batch_encode, bucket_length, encode, revcomp
+from fslr_tpu.encode import bucket_length, encode, revcomp
 from fslr_tpu.index.reference import Reference, SeedIndex
 from fslr_tpu.ops import banded, seed, selection
 
@@ -424,7 +424,6 @@ def compute_cigars(aln: Alignments, seqs: list[str], ref: Reference,
     walked path reproduces the selection-pass score.  Falls back to the
     approximate CIGAR if a path disagrees with the stored coordinates
     (shouldn't happen; guards band-edge cases)."""
-    from fslr_tpu.io.bam import approx_cigar
     from fslr_tpu.ops import traceback as tbmod
 
     n = len(aln)

@@ -30,7 +30,6 @@ from __future__ import annotations
 import os
 import uuid
 from collections import Counter
-from typing import Iterable
 
 import numpy as np
 
