@@ -124,30 +124,35 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
         wlen = max(e - s for (_, s, e, _) in win_rows)
         WT = bucket_length(wlen, (512, 1024, 2048, 4096,
                                   cfg.chunk_size + 2 * overlap + 64))
-        NW = len(win_rows)
-        q = np.full((NW, 128), 4, dtype=np.uint8)
-        t = np.full((NW, WT), 4, dtype=np.uint8)
-        qlens = np.zeros(NW, dtype=np.int32)
-        tlens = np.zeros(NW, dtype=np.int32)
         enc_cache: dict[int, np.ndarray] = {}
-        for r, (i, s, e, pi) in enumerate(win_rows):
-            if i not in enc_cache:
-                enc_cache[i] = encode(records[i].sequence)
-            interior = enc_cache[i][cfg.end_trim:len(records[i].sequence)
-                                    - cfg.end_trim]
-            w = interior[s:e]
-            t[r, :len(w)] = w
-            tlens[r] = len(w)
-            pc = prim_codes[pi]
-            q[r, :len(pc)] = pc
-            qlens[r] = len(pc)
-        score, _, _ = ssw.sw_max(q, t, qlens, tlens, config.scoring,
-                                 backend=backend)
-        score = np.asarray(score)
-        hit = score >= cfg.concatemer_score
-        for r, (i, s, e, pi) in enumerate(win_rows):
-            if hit[r]:
-                concat[i] = True
+        CHUNK = 8192     # fixed-shape chunks: stable compiled shapes
+        pending = []
+        for off in range(0, len(win_rows), CHUNK):
+            rows = win_rows[off:off + CHUNK]
+            NW = len(rows)
+            q = np.full((NW, 128), 4, dtype=np.uint8)
+            t = np.full((NW, WT), 4, dtype=np.uint8)
+            qlens = np.zeros(NW, dtype=np.int32)
+            tlens = np.zeros(NW, dtype=np.int32)
+            for r, (i, s, e, pi) in enumerate(rows):
+                if i not in enc_cache:
+                    enc_cache[i] = encode(records[i].sequence)
+                interior = enc_cache[i][
+                    cfg.end_trim:len(records[i].sequence) - cfg.end_trim]
+                w = interior[s:e]
+                t[r, :len(w)] = w
+                tlens[r] = len(w)
+                pc = prim_codes[pi]
+                q[r, :len(pc)] = pc
+                qlens[r] = len(pc)
+            score, _, _ = ssw.sw_max(q, t, qlens, tlens, config.scoring,
+                                     backend=backend)
+            pending.append((rows, score))
+        for rows, score in pending:
+            score = np.asarray(score)
+            for r, (i, s, e, pi) in enumerate(rows):
+                if score[r] >= cfg.concatemer_score:
+                    concat[i] = True
 
     # ---- decisions + counters (reference order: junk, then short/concat)
     for i in range(n):
