@@ -157,7 +157,8 @@ def different_lengths_or_alignments(itv1, itv2, qlen_diff, diff):
 
 class _ChromIndex:
     """Sorted starts + prefix-max ends per chromosome; overlap queries in
-    ascending-start order."""
+    ascending-start order.  ``all_neighbors`` vectorizes the full
+    self-join (every interval's overlap list) in one numpy pass."""
 
     def __init__(self, data):
         self.by_chrom = {}
@@ -180,6 +181,35 @@ class _ChromIndex:
             return []
         sel = np.nonzero(ends[lo:hi] >= start)[0] + lo
         return [items[i] for i in sel]
+
+    def all_neighbors(self):
+        """For every interval (as an IntervalItem), its overlapping
+        intervals in ascending-start order — one vectorized join per
+        chromosome.  Returns {id(item): list[IntervalItem]}."""
+        out = {}
+        for chrom, (starts, ends, pmax, items) in self.arrays.items():
+            nc = len(items)
+            hi = np.searchsorted(starts, ends, side='right')
+            lo = np.searchsorted(pmax, starts, side='left')
+            lo = np.minimum(lo, hi)
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                for it in items:
+                    out[id(it)] = []
+                continue
+            qidx = np.repeat(np.arange(nc), counts)
+            offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            nidx = (np.arange(total) - np.repeat(offs, counts)
+                    + np.repeat(lo, counts))
+            keep = ends[nidx] >= starts[qidx]
+            qidx = qidx[keep]
+            nidx = nidx[keep]
+            split = np.searchsorted(qidx, np.arange(nc + 1))
+            for qi in range(nc):
+                out[id(items[qi])] = [items[j]
+                                      for j in nidx[split[qi]:split[qi + 1]]]
+        return out
 
 
 def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
@@ -215,40 +245,70 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
             size_a[r, i] = itv.aln_size
             valid_a[r, i] = True
 
-    # phase 1: cap-unaware superset of candidate pairs, in encounter order
-    seen = set()
-    pair_list = []
-    for query_key, list1 in query_intervals.items():
-        qa = qid[query_key]
-        for itv in list1:
-            for o in index.search(itv.chrom, itv.start, itv.end):
-                qb = qid[o.qname]
-                if qb == qa:
-                    continue
-                key = (qa * R + qb) if qa < qb else (qb * R + qa)
-                if key in seen:
-                    continue
-                seen.add(key)
-                if different_lengths_or_alignments(itv, o, qlen_diff,
-                                                   n_aln_diff):
-                    continue
-                pair_list.append((qa, qb))
+    # phase 1 (fully vectorized): the cap-unaware candidate-pair SET.
+    # Greedy Jaccard is role-dependent and the edge cap's break can make
+    # the replay test a pair from either read's perspective, so both
+    # orientations are computed.  Gate/dedup order doesn't matter here —
+    # only the replay's traversal order does.
+    qlen2_arr = np.zeros(R, np.float64)
+    naln_arr = np.zeros(R, np.float64)
+    for q, lst in query_intervals.items():
+        qlen2_arr[qid[q]] = lst[0].qlen2
+        naln_arr[qid[q]] = lst[0].n_alignments
+    neighbors = index.all_neighbors()
+    pair_keys = []
+    for chrom, (starts, ends, pmax, items) in index.arrays.items():
+        rid_arr = np.array([qid[i.qname] for i in items], np.int64)
+        nc = len(items)
+        hi = np.searchsorted(starts, ends, side='right')
+        lo = np.minimum(np.searchsorted(pmax, starts, side='left'), hi)
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        qx = np.repeat(np.arange(nc), counts)
+        offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        nx = (np.arange(total) - np.repeat(offs, counts)
+              + np.repeat(lo, counts))
+        keep = ends[nx] >= starts[qx]
+        a = rid_arr[qx[keep]]
+        b = rid_arr[nx[keep]]
+        ok = a != b
+        a, b = a[ok], b[ok]
+        pair_keys.append(np.minimum(a, b) * R + np.maximum(a, b))
+    if pair_keys:
+        keys = np.unique(np.concatenate(pair_keys))
+        pa = (keys // R).astype(np.int64)
+        pb = (keys % R).astype(np.int64)
+        # the qlen2 / n_alignments gate, vectorized
+        q_ok = (np.minimum(qlen2_arr[pa], qlen2_arr[pb])
+                / np.maximum(np.maximum(qlen2_arr[pa], qlen2_arr[pb]),
+                             1e-12)) >= 1 - qlen_diff
+        n_ok = (np.minimum(naln_arr[pa], naln_arr[pb])
+                / np.maximum(naln_arr[pa], naln_arr[pb])) >= 1 - n_aln_diff
+        gate = q_ok | n_ok          # "not different"
+        pa, pb = pa[gate], pb[gate]
+    else:
+        pa = pb = np.zeros(0, np.int64)
 
-    pair_arr = np.asarray(pair_list, np.int32).reshape(-1, 2)
+    pair_arr = np.concatenate([
+        np.stack([pa, pb], 1), np.stack([pb, pa], 1)]).astype(np.int32)
     j_arr, n_arr = jaccard.jaccard_pairs_indexed(
         pair_arr, chrom_a, start_a, end_a, size_a, valid_a,
         np.minimum(lens_a, M), overlap_cutoff, M=M)
     # reads with more than M intervals: exact host computation
     over = set(np.nonzero(lens_a > M)[0].tolist())
     if over:
-        for i, (qa, qb) in enumerate(pair_list):
+        for i in range(len(pair_arr)):
+            qa, qb = int(pair_arr[i, 0]), int(pair_arr[i, 1])
             if qa in over or qb in over:
                 j_arr[i], n_arr[i] = jaccard.jaccard_host(
                     as_tuples(query_intervals[qnames_order[qa]]),
                     as_tuples(query_intervals[qnames_order[qb]]),
                     overlap_cutoff)
-    jmap = {(a, b): (float(j_arr[i]), int(n_arr[i]))
-            for i, (a, b) in enumerate(pair_list)}
+    jmap = {(int(pair_arr[i, 0]), int(pair_arr[i, 1])):
+            (float(j_arr[i]), int(n_arr[i]))
+            for i in range(len(pair_arr))}
 
     # phase 2: exact replay of the reference traversal with the edge cap
     seen = set()
@@ -264,7 +324,7 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         qa = qid[query_key]
         edge_count = 0
         for itv in list1:
-            for o in index.search(itv.chrom, itv.start, itv.end):
+            for o in neighbors[id(itv)]:
                 qb = qid[o.qname]
                 if qb == qa:
                     continue
