@@ -62,6 +62,8 @@ def make_dataset(root, n_reads=N_READS):
 
 
 def run_once(root, ref_path, fq_dir, tag):
+    import contextlib
+
     from fslr_tpu.config import PipelineConfig
     from fslr_tpu.pipeline import run_pipeline
 
@@ -69,7 +71,9 @@ def run_once(root, ref_path, fq_dir, tag):
     config = PipelineConfig(name='B', out=out, ref=ref_path,
                             primers=('21q1', '17p6'), basecalled=fq_dir)
     t0 = time.time()
-    run_pipeline(config)
+    # keep stdout clean: the driver parses bench.py's single JSON line
+    with contextlib.redirect_stdout(sys.stderr):
+        run_pipeline(config)
     return time.time() - t0
 
 
