@@ -414,75 +414,3 @@ def _fwd_span(out: Alignments, i: int):
                 int(out.qlen[i] - out.qstart_o[i]))
     return int(out.qstart_o[i]), int(out.qend_o[i])
 
-
-def compute_cigars(aln: Alignments, seqs: list[str], ref: Reference,
-                   config: PipelineConfig, backend: str | None = None
-                   ) -> list[list[tuple[int, str]]]:
-    """Exact per-base CIGAR core ops (M/I/D, no clips) for each selected
-    alignment, via the traceback kernel (ops/traceback.py).  The banded DP
-    is re-run on a window centred on each alignment's own diagonal; the
-    walked path reproduces the selection-pass score.  Falls back to the
-    approximate CIGAR if a path disagrees with the stored coordinates
-    (shouldn't happen; guards band-edge cases)."""
-    from fslr_tpu.ops import traceback as tbmod
-
-    n = len(aln)
-    out: list = [None] * n
-    genome = ref.codes
-    G = len(genome)
-
-    by_bucket: dict[int, list[int]] = {}
-    enc = {}
-    for i in range(n):
-        L = bucket_length(max(int(aln.qlen[i]), 1), _SLICE_BUCKETS)
-        by_bucket.setdefault(L, []).append(i)
-
-    for L, idxs in sorted(by_bucket.items()):
-        N = len(idxs)
-        q = np.full((N, L), 4, np.uint8)
-        w = np.full((N, L + 256), 4, np.uint8)
-        qlens = np.zeros(N, np.int32)
-        ws = np.zeros(N, np.int64)
-        for r, i in enumerate(idxs):
-            ridx = int(aln.read_idx[i])
-            if (ridx, aln.strand_rev[i]) not in enc:
-                f = encode(seqs[ridx])
-                enc[(ridx, False)] = f
-                enc[(ridx, True)] = revcomp(f)
-            codes = enc[(ridx, bool(aln.strand_rev[i]))]
-            q[r, :len(codes)] = codes[:L]
-            qlens[r] = min(len(codes), L)
-            g_rstart = int(ref.offsets[int(aln.chrom_idx[i])]) \
-                + int(aln.rstart[i])
-            diag = g_rstart - int(aln.qstart_o[i])
-            ws[r] = diag - banded.BW // 2
-        idxm = ws[:, None] + np.arange(L + 256)[None, :]
-        valid = (idxm >= 0) & (idxm < G)
-        w = np.where(valid, genome[np.clip(idxm, 0, G - 1)],
-                     4).astype(np.uint8)
-        score, qend, lane, bits = tbmod.banded_sw_tb(
-            q, w, qlens, config.align.scoring, backend=backend)
-        qend = np.asarray(qend)
-        lane = np.asarray(lane)
-        ops, n_ops, i_fin, l_fin = tbmod.walk_paths(np.asarray(bits), qend,
-                                                    lane)
-        for r, i in enumerate(idxs):
-            cig = tbmod.ops_to_cigar(ops[r], int(n_ops[r]))
-            qstart_w = int(i_fin[r]) + 1
-            qspan = int(aln.qend_o[i]) - int(aln.qstart_o[i])
-            wq = sum(nn for nn, op in cig if op in 'MI')
-            g_rstart = int(ref.offsets[int(aln.chrom_idx[i])]) \
-                + int(aln.rstart[i])
-            g_rend = int(ref.offsets[int(aln.chrom_idx[i])]) \
-                + int(aln.rend[i])
-            walked_rstart = int(ws[r]) + qstart_w + int(l_fin[r])
-            walked_rend = int(ws[r]) + int(qend[r]) + int(lane[r])
-            if (qstart_w != int(aln.qstart_o[i])
-                    or int(qend[r]) + 1 != int(aln.qend_o[i])
-                    or wq != qspan
-                    or walked_rstart != g_rstart
-                    or walked_rend != g_rend):
-                out[i] = None  # caller falls back to approx_cigar
-            else:
-                out[i] = cig
-    return out
