@@ -70,6 +70,11 @@ from fslr_tpu.config import ClusterConfig, PipelineConfig
               help='Run the per-cluster consensus + realign stage '
                    '(documented in the reference but shipped disabled '
                    'there; opt-in here)')
+@click.option('--consensus-engine', default='poa', show_default=True,
+              type=click.Choice(['poa', 'pileup']),
+              help="Consensus engine: 'poa' = profile-graph partial-order "
+                   "consensus (abpoa-grade), 'pileup' = single-round "
+                   'backbone vote (faster, less accurate on insertions)')
 @click.version_option(fslr_tpu.__version__)
 def pipeline(**args):
     from fslr_tpu.pipeline import run_pipeline
@@ -96,6 +101,9 @@ def pipeline(**args):
         run_consensus=args['run_consensus'],
         procs=args['procs'], cluster=cluster)
     config = config.replace(
+        consensus=config.consensus.__class__(
+            **{**config.consensus.__dict__,
+               'engine': args['consensus_engine']}),
         primer=config.primer.__class__(
             trim_threshold=args['trim_threshold'],
             search_window=config.primer.search_window),

@@ -127,6 +127,8 @@ class ConsensusConfig:
     max_reads_per_cluster: int = 16
     max_length: int = 32_768
     poa_band: int = 128
+    engine: str = 'poa'          # 'poa' (profile-graph POA, abpoa-grade)
+                                 # or 'pileup' (single-round backbone vote)
     refine_iterations: int = 0   # extra pileups against the consensus
                                  # (off by default: the backbone self-vote
                                  # biases against corrections on noisy

@@ -1,22 +1,27 @@
-"""Per-cluster consensus via batched banded alignment + pileup (N5).
+"""Per-cluster consensus: batched POA (profile graph) + pileup engines (N5).
 
-Replaces abpoa (/root/reference/fslr/consensus_seq.py:32-37).  Design: the
-partial-order-alignment graph DP is replaced by a backbone pileup —
-every member read is banded-aligned (with traceback, ops/traceback.py)
-against the cluster's backbone read in ONE batched device call across all
-clusters, then per-backbone-column votes (base / deletion / insertion)
-are tallied and the majority column calls form the consensus.
+Replaces abpoa (/root/reference/fslr/consensus_seq.py:32-37).  Two engines
+behind one interface:
 
-For amplicon clusters (same molecule, nanopore error ~5-10%) a backbone
-pileup and POA give near-identical consensus; the batched-alignment
-formulation keeps all heavy compute on the MXU/VPU path with fixed
-shapes.  A true banded-POA kernel (per-cluster graph DP) is the planned
-upgrade and would slot in behind the same interface.
+* ``engine='poa'`` (default) — true partial-order consensus with the graph
+  kept in column-merged form (aligned nodes of one topological rank share
+  a column, as abpoa's consensus bundling does).  Each round aligns every
+  cluster's next member against its current profile graph in ONE batched
+  device call (ops/profile_align.py: banded affine DP with per-column
+  deletion costs = POA bypass edges), walks tracebacks on device, then
+  opens new columns for insertions and accumulates base/span counts.
+  Consensus = majority call per column (heaviest bundle).
+
+* ``engine='pileup'`` — single-round backbone pileup: every member is
+  banded-aligned against the cluster's backbone in one batched call and
+  per-backbone-column votes decide the consensus.  Faster (one dispatch),
+  slightly less accurate around clustered insertions.
 
 Divergences from abpoa (documented): member reads beyond
-``max_reads_per_cluster`` are subsampled evenly; reads whose banded
-alignment to the backbone scores < 30% of the perfect score are excluded
-from the pileup (abpoa would still thread them through the graph).
+``max_reads_per_cluster`` are subsampled evenly; reads whose alignment
+scores < 30% of the perfect score are excluded (abpoa would still thread
+them through the graph); banding is a fixed 128-column diagonal band
+around the running column index rather than abpoa's adaptive band.
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ import numpy as np
 
 from fslr_tpu.config import ConsensusConfig, ScoringConfig
 from fslr_tpu.encode import decode, encode
+from fslr_tpu.ops import profile_align as pa
 from fslr_tpu.ops import traceback as tb
 
 
@@ -37,9 +43,9 @@ def _pad128(n):
 def consensus_sequences(clusters: list[list[str]], cfg: ConsensusConfig,
                         backend: str | None = None) -> list[str]:
     """clusters: list of member sequence lists (first member = backbone).
-    Returns one consensus string per cluster.  After the first pileup, the
-    consensus replaces the backbone and members are re-piled
-    ``refine_iterations`` times (abpoa-style iterative refinement)."""
+    Returns one consensus string per cluster."""
+    if getattr(cfg, 'engine', 'poa') == 'poa':
+        return consensus_sequences_poa(clusters, cfg, backend)
     cons = _consensus_once(clusters, cfg, backend)
     for _ in range(max(cfg.refine_iterations, 0)):
         refined_in = []
@@ -160,3 +166,176 @@ def _consensus_once(clusters: list[list[str]], cfg: ConsensusConfig,
                 parts.append('ACGT'[best[i]])
         out.append(''.join(parts))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Engine 'poa': column-merged partial-order consensus (ops/profile_align.py)
+# ---------------------------------------------------------------------------
+
+_SUBST = np.full((4, 4), -3.0, np.float32)
+np.fill_diagonal(_SUBST, 2.0)
+
+PROFILE_OFFSET = 32      # profile start lane: band covers j-i in [-32, +95]
+
+
+class _ProfileGraph:
+    """Column-merged POA graph: per-column base counts + span counts.
+
+    ``counts[c, b]`` = reads voting base b at column c; ``spans[c]`` =
+    reads whose alignment spans column c (gap votes = spans - support).
+    Inserting a read's extra bases opens new columns (the partial order)."""
+
+    __slots__ = ('counts', 'spans')
+
+    def __init__(self, backbone_codes: np.ndarray):
+        L = len(backbone_codes)
+        self.counts = np.zeros((L, 4), np.int32)
+        ok = backbone_codes < 4
+        self.counts[np.arange(L)[ok], backbone_codes[ok]] = 1
+        self.spans = np.ones(L, np.int32)
+
+    def planes(self, Lq: int, match: float, mismatch: float, ext: float):
+        """Packed int8x4 score plane + cumulative deletion-cost plane for a
+        read of padded length Lq (plane width Lq + 256; profile columns
+        occupy [P, P+Lg_eff)).  P = 32: the band at query row i covers
+        profile columns j - i in [-32, +95] — asymmetric toward positive
+        drift because minority insertions grow the profile over rounds,
+        making later reads deletion-heavy relative to it."""
+        P = PROFILE_OFFSET
+        W = Lq + 256
+        Lg_eff = min(len(self.spans), W - P)
+        counts = self.counts[:Lg_eff].astype(np.float32)
+        support = counts.sum(axis=1)
+        denom = np.maximum(support, 1.0)
+        sc = counts @ _SUBST / denom[:, None]          # (Lg_eff, 4)
+        q8 = np.clip(np.rint(sc * pa.SCALE), -127, 127).astype(np.int64)
+        q8[support == 0] = pa.PAD_BYTE
+        b = (q8 & 0xFF).astype(np.uint32)
+        packed = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+                  | (b[:, 3] << 24)).astype(np.uint32)
+        sp = np.full(W, np.uint32(0x80808080), np.uint32)
+        sp[P:P + Lg_eff] = packed
+        cov = np.clip(support / np.maximum(self.spans[:Lg_eff], 1),
+                      1.0 / 16.0, 1.0)
+        ext_c = np.full(W, ext, np.float32)
+        ext_c[P:P + Lg_eff] = ext * cov
+        g = np.cumsum(ext_c, dtype=np.float64).astype(np.float32)
+        return sp.view(np.int32), g
+
+    def update(self, read_codes: np.ndarray, qstart: int, col_start: int,
+               cigar: list[tuple[int, str]]):
+        """Accumulate one traceback path; returns nothing.  Opens new
+        columns for insertions (splice) and bumps span counts over the
+        covered range."""
+        Lg = len(self.spans)
+        qi, ri = qstart, col_start
+        inserts = []                       # (column, codes) before column
+        for n, op in cigar:
+            if op == 'M':
+                lo = max(ri, 0)
+                hi = min(ri + n, Lg)
+                if hi > lo:
+                    qseg = read_codes[qi + (lo - ri):qi + (hi - ri)]
+                    cols = np.arange(lo, hi)
+                    ok = qseg < 4
+                    np.add.at(self.counts, (cols[ok], qseg[ok]), 1)
+                qi += n
+                ri += n
+            elif op == 'I':
+                if 0 <= ri <= Lg:
+                    inserts.append((ri, read_codes[qi:qi + n]))
+                qi += n
+            elif op == 'D':
+                ri += n
+        lo = max(col_start, 0)
+        hi = min(ri, Lg)
+        if hi > lo:
+            self.spans[lo:hi] += 1
+        if inserts:
+            self._splice(inserts)
+
+    def _splice(self, inserts):
+        Lg = len(self.spans)
+        pos = [p for p, _ in inserts]
+        counts_parts, spans_parts = [], []
+        prev = 0
+        for (p, codes) in inserts:
+            counts_parts.append(self.counts[prev:p])
+            spans_parts.append(self.spans[prev:p])
+            n = len(codes)
+            cn = np.zeros((n, 4), np.int32)
+            ok = codes < 4
+            cn[np.arange(n)[ok], codes[ok]] = 1
+            sn = np.full(n, self.spans[min(max(p, 0), Lg - 1)]
+                         if Lg else 1, np.int32)
+            counts_parts.append(cn)
+            spans_parts.append(sn)
+            prev = p
+        counts_parts.append(self.counts[prev:])
+        spans_parts.append(self.spans[prev:])
+        self.counts = np.concatenate(counts_parts, axis=0)
+        self.spans = np.concatenate(spans_parts, axis=0)
+
+    def consensus(self) -> str:
+        support = self.counts.sum(axis=1)
+        keep = (2 * support > self.spans) & (support > 0)
+        best = self.counts.argmax(axis=1)
+        return decode(best[keep].astype(np.uint8))
+
+
+def consensus_sequences_poa(clusters: list[list[str]], cfg: ConsensusConfig,
+                            backend: str | None = None) -> list[str]:
+    """True POA consensus: per-round batched read-vs-profile alignment.
+    Round r aligns every cluster's r-th member against that cluster's
+    current profile graph in one device dispatch per length bucket."""
+    sc = ScoringConfig(gap_open_is_first_base=False)
+    graphs: list[_ProfileGraph | None] = []
+    rests: list[list[np.ndarray]] = []
+    for members in clusters:
+        members = [m for m in members if m]
+        if not members:
+            graphs.append(None)
+            rests.append([])
+            continue
+        graphs.append(_ProfileGraph(encode(members[0])[:cfg.max_length]))
+        rest = members[1:]
+        cap = cfg.max_reads_per_cluster - 1
+        if len(rest) > cap:
+            idx = np.linspace(0, len(rest) - 1, cap).astype(int)
+            rest = [rest[i] for i in idx]
+        rests.append([encode(m)[:cfg.max_length] for m in rest])
+
+    n_rounds = max((len(r) for r in rests), default=0)
+    for r in range(n_rounds):
+        jobs = [(ci, rests[ci][r]) for ci in range(len(clusters))
+                if len(rests[ci]) > r and graphs[ci] is not None]
+        by_bucket: dict[int, list[int]] = {}
+        for ji, (ci, codes) in enumerate(jobs):
+            by_bucket.setdefault(_pad128(max(len(codes), 1)),
+                                 []).append(ji)
+        for Lq, jidx in sorted(by_bucket.items()):
+            N = len(jidx)
+            q = np.full((N, Lq), 4, np.uint8)
+            sp = np.empty((N, Lq + 256), np.int32)
+            g = np.empty((N, Lq + 256), np.float32)
+            qlens = np.zeros(N, np.int32)
+            for row, ji in enumerate(jidx):
+                ci, codes = jobs[ji]
+                q[row, :len(codes)] = codes
+                qlens[row] = len(codes)
+                sp[row], g[row] = graphs[ci].planes(
+                    Lq, float(sc.match), float(sc.mismatch),
+                    float(sc.gap_extend))
+            score, qend, lane, qstart, l_fin, cigars = pa.profile_align_walk(
+                q, sp, g, qlens, sc, backend=backend)
+            for row, ji in enumerate(jidx):
+                ci, codes = jobs[ji]
+                Lg = len(graphs[ci].spans)
+                if score[row] < 0.3 * 2 * min(len(codes), Lg):
+                    continue
+                col_start = (int(qstart[row]) + int(l_fin[row])
+                             - PROFILE_OFFSET)
+                graphs[ci].update(codes, int(qstart[row]), col_start,
+                                  cigars[row])
+
+    return ['' if gph is None else gph.consensus() for gph in graphs]
