@@ -60,6 +60,12 @@ class BgzfWriter:
             self.fh.write(_bgzf_block(bytes(self.buf[:60000])))
             del self.buf[:60000]
 
+    def tell_virtual(self) -> int:
+        """BGZF virtual offset of the next byte: (compressed block start
+        << 16) | offset-in-uncompressed-block.  Valid because ``write``
+        leaves < 60000 < 2^16 bytes buffered."""
+        return (self.fh.tell() << 16) | len(self.buf)
+
     def close(self):
         if self.buf:
             self.fh.write(_bgzf_block(bytes(self.buf)))
@@ -134,7 +140,10 @@ def encode_record(r: BamRecord) -> bytes:
 
 
 def write_bam(path: str, names: list[str], lengths, records,
-              sort_by_coord: bool = True):
+              sort_by_coord: bool = True, write_index: bool = False):
+    """Write a coordinate-sorted BAM; with ``write_index``, also emit the
+    standard ``{path}.bai`` (samtools-index parity: the reference pipeline
+    runs ``samtools index`` after sorting, main.py:140,167)."""
     header_text = ''.join(
         f'@SQ\tSN:{n}\tLN:{int(l)}\n' for n, l in zip(names, lengths))
     header_text = '@HD\tVN:1.6\tSO:coordinate\n' + header_text \
@@ -149,9 +158,213 @@ def write_bam(path: str, names: list[str], lengths, records,
     for n, l in zip(names, lengths):
         nb = n.encode() + b'\0'
         w.write(struct.pack('<i', len(nb)) + nb + struct.pack('<i', int(l)))
+    spans = []
     for r in records:
+        vstart = w.tell_virtual()
         w.write(encode_record(r))
+        if write_index:
+            spans.append((r.ref_id, r.pos,
+                          r.pos + max(r.reference_span(), 1), vstart,
+                          w.tell_virtual()))
     w.close()
+    if write_index:
+        write_bai(path + '.bai', len(names), spans)
+
+
+def write_bai(path: str, n_ref: int, spans):
+    """BAI index (SAM spec section 5.2): per reference, R-tree bins of
+    chunk virtual-offset ranges + a 16 kb linear index.  ``spans`` =
+    (ref_id, beg, end, voff_start, voff_end) per coordinate-sorted
+    record."""
+    bins = [dict() for _ in range(n_ref)]      # bin -> [chunks]
+    linear = [dict() for _ in range(n_ref)]    # window -> min voff
+    n_unmapped = 0
+    for ref_id, beg, end, vs, ve in spans:
+        if ref_id < 0:
+            n_unmapped += 1
+            continue
+        b = _reg2bin(beg, end)
+        chunks = bins[ref_id].setdefault(b, [])
+        if chunks and chunks[-1][1] == vs:
+            chunks[-1] = (chunks[-1][0], ve)   # coalesce adjacent chunks
+        else:
+            chunks.append((vs, ve))
+        lin = linear[ref_id]
+        for win in range(beg >> 14, ((end - 1) >> 14) + 1):
+            if win not in lin or vs < lin[win]:
+                lin[win] = vs
+    out = [b'BAI\x01', struct.pack('<i', n_ref)]
+    for ref_id in range(n_ref):
+        out.append(struct.pack('<i', len(bins[ref_id])))
+        for b in sorted(bins[ref_id]):
+            chunks = bins[ref_id][b]
+            out.append(struct.pack('<Ii', b, len(chunks)))
+            for vs, ve in chunks:
+                out.append(struct.pack('<QQ', vs, ve))
+        lin = linear[ref_id]
+        n_intv = (max(lin) + 1) if lin else 0
+        out.append(struct.pack('<i', n_intv))
+        filled = 0
+        for win in range(n_intv):
+            filled = lin.get(win, filled) or filled
+            out.append(struct.pack('<Q', lin.get(win, filled)))
+    out.append(struct.pack('<Q', n_unmapped))
+    with open(path, 'wb') as fh:
+        fh.write(b''.join(out))
+
+
+def _reg2bins(beg: int, end: int):
+    """All bins that may overlap [beg, end) (SAM spec 5.3)."""
+    end -= 1
+    res = [0]
+    for shift, off in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        res.extend(range(off + (beg >> shift), off + (end >> shift) + 1))
+    return res
+
+
+def _bgzf_block_at(data: bytes, coffset: int) -> tuple[bytes, int]:
+    """Decompress the BGZF block starting at compressed offset
+    ``coffset``; returns (payload, next block's offset)."""
+    xlen, = struct.unpack_from('<H', data, coffset + 10)
+    p = coffset + 12
+    bsize = None
+    endx = p + xlen
+    while p < endx:
+        si1, si2, slen = data[p], data[p + 1], struct.unpack_from(
+            '<H', data, p + 2)[0]
+        if si1 == 0x42 and si2 == 0x43:
+            bsize = struct.unpack_from('<H', data, p + 4)[0] + 1
+        p += 4 + slen
+    if bsize is None:
+        raise ValueError('BGZF block without BC extra field')
+    comp = data[coffset + 12 + xlen:coffset + bsize - 8]
+    return zlib.decompress(comp, -15), coffset + bsize
+
+
+def fetch(bam_path: str, ref_name: str, beg: int, end: int,
+          bai_path: str | None = None):
+    """Random-access region query via the .bai index (pysam.fetch
+    equivalent, self-contained).  Returns overlapping BamRecords."""
+    with open(bam_path, 'rb') as fh:
+        data = fh.read()
+    names, _, hdr_end_voff = _read_bam_header(data)
+    if ref_name not in names:
+        raise KeyError(ref_name)
+    ref_id = names.index(ref_name)
+    with open(bai_path or bam_path + '.bai', 'rb') as fh:
+        idx = fh.read()
+    if idx[:4] != b'BAI\x01':
+        raise ValueError('not a BAI index')
+    off = 4
+    n_ref, = struct.unpack_from('<i', idx, off); off += 4
+    chunks = []
+    min_lin = 0
+    for rid in range(n_ref):
+        n_bin, = struct.unpack_from('<i', idx, off); off += 4
+        want = set(_reg2bins(beg, end)) if rid == ref_id else None
+        for _ in range(n_bin):
+            b, n_chunk = struct.unpack_from('<Ii', idx, off); off += 8
+            for _ in range(n_chunk):
+                vs, ve = struct.unpack_from('<QQ', idx, off); off += 16
+                if want is not None and b in want:
+                    chunks.append((vs, ve))
+        n_intv, = struct.unpack_from('<i', idx, off); off += 4
+        if rid == ref_id and n_intv > 0:
+            win = min(beg >> 14, n_intv - 1)
+            min_lin, = struct.unpack_from('<Q', idx, off + 8 * win)
+        off += 8 * n_intv
+    chunks = sorted(c for c in chunks if c[1] > min_lin)
+    out = []
+    for vs, ve in chunks:
+        vs = max(vs, min_lin)
+        for rec in _decode_records_between(data, vs, ve):
+            if rec.ref_id != ref_id or rec.pos >= end:
+                continue
+            if rec.pos + max(rec.reference_span(), 1) > beg:
+                out.append(rec)
+    seen = set()
+    uniq = []
+    for r in out:
+        key = (r.qname, r.flag, r.pos)
+        if key not in seen:
+            seen.add(key)
+            uniq.append(r)
+    uniq.sort(key=lambda r: r.pos)
+    return uniq
+
+
+def _read_bam_header(data: bytes):
+    """Header names/lengths from raw BGZF bytes; also returns the virtual
+    offset just past the header."""
+    payload = bytearray()
+    coff = 0
+    # decompress until the header (incl. reference list) is complete
+    names, lengths = [], []
+    need = 12
+    while True:
+        if len(payload) < need and coff < len(data):
+            block, coff = _bgzf_block_at(data, coff)
+            payload += block
+            continue
+        if payload[:4] != b'BAM\x01':
+            raise ValueError('not BAM')
+        l_text, = struct.unpack_from('<i', payload, 4)
+        p = 8 + l_text
+        if len(payload) < p + 4:
+            need = p + 4
+            continue
+        n_ref, = struct.unpack_from('<i', payload, p)
+        p += 4
+        ok = True
+        names, lengths = [], []
+        for _ in range(n_ref):
+            if len(payload) < p + 4:
+                ok = False
+                break
+            l_name, = struct.unpack_from('<i', payload, p); p += 4
+            if len(payload) < p + l_name + 4:
+                ok = False
+                break
+            names.append(payload[p:p + l_name - 1].decode())
+            p += l_name
+            lengths.append(struct.unpack_from('<i', payload, p)[0])
+            p += 4
+        if ok:
+            return names, lengths, p
+        need = p + 64
+        if coff >= len(data):
+            raise ValueError('truncated BAM header')
+
+
+def _decode_records_between(data: bytes, vstart: int, vend: int):
+    """Decode records in the virtual-offset range [vstart, vend)."""
+    coff = vstart >> 16
+    uoff = vstart & 0xffff
+    payload = bytearray()
+    first = True
+    out = []
+    cur = coff
+    while cur < len(data) and data[cur:cur + 2] == b'\x1f\x8b':
+        block, nxt = _bgzf_block_at(data, cur)
+        if first:
+            payload += block[uoff:]
+            first = False
+        else:
+            payload += block
+        # stop when we have covered vend's block
+        if cur >= (vend >> 16):
+            break
+        cur = nxt
+    p = 0
+    while p + 4 <= len(payload):
+        if len(payload) < p + 4:
+            break
+        block_size, = struct.unpack_from('<I', payload, p)
+        if p + 4 + block_size > len(payload):
+            break
+        out.append(_decode_record(payload, p + 4, p + 4 + block_size))
+        p += 4 + block_size
+    return out
 
 
 def read_bam(path: str):
@@ -175,47 +388,50 @@ def read_bam(path: str):
     while off < n:
         block_size, = struct.unpack_from('<I', data, off); off += 4
         end = off + block_size
-        (ref_id, pos, l_rn, mapq, _bin, n_cig, flag, l_seq, _nr, _np,
-         _tl) = struct.unpack_from('<iiBBHHHiiii', data, off)
-        p = off + 32
-        qname = data[p:p + l_rn - 1].decode(); p += l_rn
-        cigar = []
-        for _ in range(n_cig):
-            v, = struct.unpack_from('<I', data, p); p += 4
-            cigar.append((v >> 4, _CIGAR_OPS[v & 15]))
-        seq_chars = []
-        for i in range(l_seq):
-            b = data[p + i // 2]
-            code = (b >> 4) if i % 2 == 0 else (b & 15)
-            seq_chars.append(_SEQ_DECODE[code])
-        p += (l_seq + 1) // 2
-        qual_raw = data[p:p + l_seq]; p += l_seq
-        qual = (None if (l_seq == 0 or qual_raw[:1] == b'\xff')
-                else ''.join(chr(q + 33) for q in qual_raw))
-        tags = {}
-        while p < end:
-            tag = data[p:p + 2].decode(); typ = chr(data[p + 2]); p += 3
-            if typ == 'i':
-                tags[tag], = struct.unpack_from('<i', data, p); p += 4
-            elif typ in 'cC':
-                tags[tag] = data[p]; p += 1
-            elif typ in 'sS':
-                tags[tag], = struct.unpack_from('<h', data, p); p += 2
-            elif typ == 'A':
-                tags[tag] = chr(data[p]); p += 1
-            elif typ == 'f':
-                tags[tag], = struct.unpack_from('<f', data, p); p += 4
-            elif typ == 'Z':
-                z = data.index(b'\0', p)
-                tags[tag] = data[p:z].decode(); p = z + 1
-            else:
-                break  # unsupported array types: stop tag parsing
-        records.append(BamRecord(qname=qname, flag=flag, ref_id=ref_id,
-                                 pos=pos, mapq=mapq, cigar=cigar,
-                                 seq=''.join(seq_chars), qual=qual,
-                                 tags=tags))
+        records.append(_decode_record(data, off, end))
         off = end
     return names, lengths, records
+
+
+def _decode_record(data, off: int, end: int) -> BamRecord:
+    (ref_id, pos, l_rn, mapq, _bin, n_cig, flag, l_seq, _nr, _np,
+     _tl) = struct.unpack_from('<iiBBHHHiiii', data, off)
+    p = off + 32
+    qname = bytes(data[p:p + l_rn - 1]).decode(); p += l_rn
+    cigar = []
+    for _ in range(n_cig):
+        v, = struct.unpack_from('<I', data, p); p += 4
+        cigar.append((v >> 4, _CIGAR_OPS[v & 15]))
+    seq_chars = []
+    for i in range(l_seq):
+        b = data[p + i // 2]
+        code = (b >> 4) if i % 2 == 0 else (b & 15)
+        seq_chars.append(_SEQ_DECODE[code])
+    p += (l_seq + 1) // 2
+    qual_raw = data[p:p + l_seq]; p += l_seq
+    qual = (None if (l_seq == 0 or qual_raw[:1] == b'\xff')
+            else ''.join(chr(q + 33) for q in qual_raw))
+    tags = {}
+    while p < end:
+        tag = bytes(data[p:p + 2]).decode(); typ = chr(data[p + 2]); p += 3
+        if typ == 'i':
+            tags[tag], = struct.unpack_from('<i', data, p); p += 4
+        elif typ in 'cC':
+            tags[tag] = data[p]; p += 1
+        elif typ in 'sS':
+            tags[tag], = struct.unpack_from('<h', data, p); p += 2
+        elif typ == 'A':
+            tags[tag] = chr(data[p]); p += 1
+        elif typ == 'f':
+            tags[tag], = struct.unpack_from('<f', data, p); p += 4
+        elif typ == 'Z':
+            z = data.index(b'\0', p)
+            tags[tag] = bytes(data[p:z]).decode(); p = z + 1
+        else:
+            break  # unsupported array types: stop tag parsing
+    return BamRecord(qname=qname, flag=flag, ref_id=ref_id, pos=pos,
+                     mapq=mapq, cigar=cigar, seq=''.join(seq_chars),
+                     qual=qual, tags=tags)
 
 
 def get_chromosome_lengths(bam_path: str) -> dict[str, int]:

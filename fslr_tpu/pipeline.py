@@ -195,7 +195,7 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
                 tags={'AS': int(aln.score[i])}))
         with timer.stage('bam_write'):
             bamio.write_bam(f'{basename}.bwa_dodi.bam', ref.names,
-                            ref.lengths, records)
+                            ref.lengths, records, write_index=True)
 
         if not config.keep_temp:
             for pth in glob.glob(f'{basename}_temp_ref.fa*'):

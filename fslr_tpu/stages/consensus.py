@@ -83,7 +83,8 @@ def merge_bam_files(bam1, bam2, out_bam):
     for r in rec2:
         if r.ref_id >= 0:
             r.ref_id = remap.get(r.ref_id, -1)
-    bamio.write_bam(out_bam, names, lengths, rec1 + rec2)
+    bamio.write_bam(out_bam, names, lengths, rec1 + rec2,
+                    write_index=True)
 
 
 def run_consensus_stage(subgraphs, bed_file: pd.DataFrame, ref, sidx,

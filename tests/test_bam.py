@@ -80,3 +80,64 @@ def test_approx_cigar_consistency(qstart, qend, qlen, rspan, expect_ops):
     assert sum(n for n, op in cig if op in 'MIS') == qlen
     if isinstance(expect_ops, list):
         assert cig == expect_ops
+
+
+def test_bai_index_and_fetch(tmp_path):
+    """write_index=True emits a spec .bai; fetch() must return exactly the
+    records a brute-force overlap scan returns (parity with the
+    reference's samtools index + pysam fetch usage, main.py:140,167)."""
+    import numpy as np
+
+    from fslr_tpu.io import bam as bamio
+
+    rng = np.random.default_rng(9)
+    names = ['chrA', 'chrB']
+    lengths = [2_000_000, 500_000]
+    records = []
+    for i in range(400):
+        rid = int(rng.integers(0, 2))
+        pos = int(rng.integers(0, lengths[rid] - 5000))
+        span = int(rng.integers(50, 4000))
+        records.append(bamio.BamRecord(
+            qname=f'r{i}', flag=0, ref_id=rid, pos=pos, mapq=60,
+            cigar=[(span, 'M')], seq='A' * span, qual=None,
+            tags={'AS': span}))
+    # a few unmapped records exercise the unmapped-count field
+    for i in range(3):
+        records.append(bamio.BamRecord(
+            qname=f'u{i}', flag=4, ref_id=-1, pos=-1, mapq=0,
+            cigar=[], seq='ACGT', qual=None, tags={}))
+    path = str(tmp_path / 'x.bam')
+    bamio.write_bam(path, names, lengths, records, write_index=True)
+    import os
+    assert os.path.exists(path + '.bai')
+
+    _, _, all_recs = bamio.read_bam(path)
+    for ref_name, beg, end in [('chrA', 0, 10_000), ('chrA', 500_000,
+                                                     600_000),
+                               ('chrB', 100_000, 100_001),
+                               ('chrA', 1_990_000, 2_000_000),
+                               ('chrB', 0, 500_000)]:
+        rid = names.index(ref_name)
+        want = sorted((r.qname for r in all_recs
+                       if r.ref_id == rid and r.pos < end
+                       and r.pos + max(r.reference_span(), 1) > beg))
+        got = sorted(r.qname for r in bamio.fetch(path, ref_name, beg, end))
+        assert got == want, (ref_name, beg, end, len(got), len(want))
+
+
+def test_bai_linear_index_prunes_blocks(tmp_path):
+    """fetch on a tail region must not decode every record (the linear
+    index skips leading chunks)."""
+    from fslr_tpu.io import bam as bamio
+
+    names = ['chrA']
+    lengths = [50_000_000]
+    records = [bamio.BamRecord(
+        qname=f'r{i}', flag=0, ref_id=0, pos=i * 1000, mapq=60,
+        cigar=[(500, 'M')], seq='C' * 500, qual=None, tags={})
+        for i in range(5000)]
+    path = str(tmp_path / 'big.bam')
+    bamio.write_bam(path, names, lengths, records, write_index=True)
+    got = bamio.fetch(path, 'chrA', 4_999_000, 5_000_000)
+    assert [r.qname for r in got] == ['r4999']
