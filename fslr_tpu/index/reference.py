@@ -39,7 +39,28 @@ class Reference:
 class SeedIndex:
     k: int
     counts: np.ndarray               # (4^k + 1,) int64 cumulative offsets
-    positions: np.ndarray            # (n_seeds,) int32/int64 global positions
+    positions: np.ndarray            # (n_seeds,) int32 shard-local positions
+    shards: list | None = None       # [IndexShard] when the genome exceeds
+                                     # MAX_UNSHARDED_BASES (then counts/
+                                     # positions above are empty)
+
+
+@dataclasses.dataclass
+class IndexShard:
+    """One contig-aligned slice of a large genome with its own int32
+    index.  Device arrays (genome codes, k-mer tables) stay int32-safe
+    per shard; alignments are remapped to parent contig ids by
+    ``contig_base``."""
+    ref: Reference
+    sidx: SeedIndex
+    contig_base: int
+
+
+# Per-shard cap: device seeding uses int32 positions and a 2^30 sentinel
+# (ops/seed.py BIG), so every shard-local position — and hence every
+# diagonal — must stay below 2^30.  Genomes above this (e.g. GRCh38 at
+# 3.1 Gbp) are sharded at contig boundaries.
+MAX_UNSHARDED_BASES = 2 ** 30 - 2 ** 26
 
 
 def load_reference(path: str) -> Reference:
@@ -55,16 +76,21 @@ def load_reference(path: str) -> Reference:
                      codes=codes)
 
 
-def build_seed_index(ref: Reference, k: int) -> SeedIndex:
+def build_seed_index(ref: Reference, k: int,
+                     max_shard_bases: int = MAX_UNSHARDED_BASES
+                     ) -> SeedIndex:
+    if len(ref.codes) > max_shard_bases and len(ref.names) > 1:
+        return _build_sharded(ref, k, max_shard_bases)
     codes = ref.codes.astype(np.int64)
     n = len(codes) - k + 1
     if n <= 0:
         return SeedIndex(k=k, counts=np.zeros(4 ** k + 1, np.int64),
                          positions=np.zeros(0, np.int32))
-    kmers = np.zeros(n, dtype=np.int64)
+    kdtype = np.int32 if 4 ** k < 2 ** 31 else np.int64
+    kmers = np.zeros(n, dtype=kdtype)
     valid = np.ones(n, dtype=bool)
     for p in range(k):
-        c = codes[p:p + n]
+        c = codes[p:p + n].astype(kdtype)
         kmers = kmers * 4 + np.where(c < 4, c, 0)
         valid &= c < 4
     # exclude k-mers spanning contig boundaries
@@ -76,10 +102,53 @@ def build_seed_index(ref: Reference, k: int) -> SeedIndex:
     order = np.argsort(km, kind='stable')
     positions = pos[order]
     counts = np.zeros(4 ** k + 1, dtype=np.int64)
-    np.add.at(counts, km + 1, 1)
+    np.add.at(counts, km.astype(np.int64) + 1, 1)
     counts = np.cumsum(counts)
-    ptype = np.int32 if len(ref.codes) < 2 ** 31 else np.int64
-    return SeedIndex(k=k, counts=counts, positions=positions.astype(ptype))
+    return SeedIndex(k=k, counts=counts,
+                     positions=positions.astype(np.int32))
+
+
+def shard_contig_ranges(lengths, max_shard_bases: int = MAX_UNSHARDED_BASES
+                        ) -> list[tuple[int, int]]:
+    """Greedy contig packing: consecutive [c0, c1) ranges whose total
+    length stays under the shard cap."""
+    ranges = []
+    c0, total = 0, 0
+    for ci, ln in enumerate(lengths):
+        ln = int(ln)
+        if ln > 2 ** 30 - 2 ** 8:
+            raise ValueError(
+                f'contig {ci} is {ln} bp — larger than a device shard')
+        if total + ln > max_shard_bases and total > 0:
+            ranges.append((c0, ci))
+            c0, total = ci, 0
+        total += ln
+    if total > 0 or not ranges:
+        ranges.append((c0, len(lengths)))
+    return ranges
+
+
+def sub_reference(ref: Reference, c0: int, c1: int) -> Reference:
+    """Contig range [c0, c1) as a Reference; codes is a view (no copy)."""
+    base = int(ref.offsets[c0])
+    return Reference(
+        names=ref.names[c0:c1],
+        lengths=ref.lengths[c0:c1],
+        offsets=ref.offsets[c0:c1 + 1] - base,
+        codes=ref.codes[base:int(ref.offsets[c1])])
+
+
+def _build_sharded(ref: Reference, k: int, max_shard_bases: int
+                   ) -> SeedIndex:
+    shards = []
+    for c0, c1 in shard_contig_ranges(ref.lengths, max_shard_bases):
+        sref = sub_reference(ref, c0, c1)
+        shards.append(IndexShard(ref=sref,
+                                 sidx=build_seed_index(sref, k,
+                                                       max_shard_bases),
+                                 contig_base=c0))
+    return SeedIndex(k=k, counts=np.zeros(0, np.int64),
+                     positions=np.zeros(0, np.int32), shards=shards)
 
 
 def write_masked_reference(mask_bed: str, out_path: str, ref_path: str):

@@ -5,10 +5,12 @@ Replaces bwa mem's FM-index SMEM seeding + chaining
 with a TPU-native design: exact k-mer lookups against the host-built sorted
 index (index/reference.py) are pure gathers; "chaining" becomes diagonal
 density-peak selection with non-max suppression — for each read, hits
-(qpos, rpos) are sorted by diagonal d = rpos - qpos, a windowed density is
-computed per hit (cumsum + searchsorted), and up to ``max_candidates``
-diagonal bands are peeled off greedily, suppressing hits within 2x the band
-width.  Every step is fixed-shape vector work; no data-dependent loops.
+(qpos, rpos) are sorted by diagonal d = rpos - qpos (one multi-operand
+lax.sort), a windowed density is computed per hit from merge-ranks
+(gather-free, see _window_lo_merge), and up to ``max_candidates`` diagonal
+bands are peeled off greedily, suppressing hits within 2x the band width
+by interval subtraction.  Every step is fixed-shape vector work with no
+lane gathers or scans — both cost ~0.2 s per call at this width on TPU.
 
 This is not a transcription of bwa's heuristics: parity is targeted at the
 *selection* level (SURVEY.md section 7, hard part 1) — candidate bands must
@@ -23,7 +25,59 @@ import functools
 import jax
 import jax.numpy as jnp
 
-BIG = 2 ** 30
+BIG = 2 ** 30 - 2    # > any shard-local position (reference shards are
+                     # capped below 2^30); 2*BIG + 1 still fits int32
+
+
+def _cumsum_log(x):
+    """Prefix sum along the last axis via log2(n) shifted adds — XLA's
+    cumsum lowers to a slow sequential scan on TPU for wide rows."""
+    n = x.shape[-1]
+    d = 1
+    while d < n:
+        shifted = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(d, 0)])[..., :n]
+        x = x + shifted
+        d *= 2
+    return x
+
+
+def _window_lo_merge(diag_s, band_w):
+    """lo[j] = searchsorted(row, row[j] - band_w, 'left') for sorted rows.
+
+    Gather-free: per-row gathers (take_along_axis) and vmapped binary
+    search both cost ~0.2 s on TPU at this width.  Since queries
+    (diag - band_w) and keys (diag) are both sorted, ranks come from ONE
+    stable payload sort of their interleaving (a query's key-rank =
+    merged position - query-rank; keys order strictly after equal
+    queries via the *2+1 tag = side='left'), and a second stable payload
+    sort compacts the ranks back to query order.  Requires values*2+1 to
+    fit int32 (values < 2^30; see BIG)."""
+    B, M = diag_s.shape
+    merged = jnp.concatenate(
+        [(diag_s - band_w) * 2, diag_s * 2 + 1], axis=1)       # (B, 2M)
+    isq = jnp.concatenate(
+        [jnp.ones((B, M), jnp.int32), jnp.zeros((B, M), jnp.int32)],
+        axis=1)
+    _, isq_s = jax.lax.sort((merged, isq), dimension=1, num_keys=1,
+                            is_stable=True)
+    qrank = _cumsum_log(isq_s)                  # queries <= m (1-based)
+    mpos1 = jnp.broadcast_to(
+        jnp.arange(1, 2 * M + 1, dtype=jnp.int32)[None, :], (B, 2 * M))
+    krank = mpos1 - qrank                       # keys <= m
+    # compact key-ranks at query slots back to query order (queries are
+    # presorted, so their merged order == their original order)
+    _, lo = jax.lax.sort((1 - isq_s, krank), dimension=1, num_keys=1,
+                         is_stable=True)
+    return lo[:, :M]
+
+
+def _window_lo_search(diag_s, band_w):
+    return jax.vmap(lambda row, v: jnp.searchsorted(row, v, side='left'))(
+        diag_s, diag_s - band_w)
+
+
+def _window_lo(diag_s, band_w):
+    return _window_lo_merge(diag_s, band_w)
 
 
 @functools.partial(
@@ -80,27 +134,31 @@ def seed_candidates(reads, lens, counts, positions, *, k, stride,
     hr = rpos.reshape(B, M)
     hv = hit_valid.reshape(B, M)
 
+    # validity-first sort by diagonal, payloads carried through ONE
+    # multi-operand stable sort (argsort + per-payload take_along_axis
+    # costs ~0.2 s per gather on TPU at this width)
     diag_s = jnp.where(hv, diag, BIG)
-    order = jnp.argsort(diag_s, axis=1)
-    diag_s = jnp.take_along_axis(diag_s, order, axis=1)
-    hq = jnp.take_along_axis(hq, order, axis=1)
-    hr = jnp.take_along_axis(hr, order, axis=1)
-    hv = jnp.take_along_axis(hv, order, axis=1)
+    diag_s, hq, hr, hv8 = jax.lax.sort(
+        (diag_s, hq, hr, hv.astype(jnp.int32)), dimension=1, num_keys=1,
+        is_stable=True)
+    hv = hv8 > 0
 
-    # windowed density: hits within (d - band_w, d]
-    lo = jax.vmap(lambda row, v: jnp.searchsorted(row, v, side='left'))(
-        diag_s, diag_s - band_w)                               # (B, M)
-    idx = jnp.arange(M, dtype=jnp.int32)
-
+    # Density of hits within (d - band_w, d]: the sort is validity-first,
+    # so the initial count is simply j - lo[j] + 1.  Suppression updates
+    # dens by subtracting each killed index-interval's overlap with
+    # [lo[j], j] — O(1) per element, no scans or gathers.  Where kill
+    # zones of successive peaks overlap, the overlap is subtracted twice,
+    # undercounting dens near already-suppressed peaks; that only demotes
+    # further picks in regions already covered, and the per-candidate
+    # outputs (count/span extrema) are computed exactly from the alive
+    # mask regardless.
+    lo = _window_lo(diag_s, band_w)
+    idx = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+    dens = jnp.where(hv, idx - lo + 1, 0)
     alive = hv
     out = {n: [] for n in ('diag', 'count', 'qmin', 'qmax', 'rmin', 'rmax',
                            'valid')}
     for _ in range(max_cand):
-        cum = jnp.cumsum(alive.astype(jnp.int32), axis=1)
-        cum0 = jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32), cum], axis=1)
-        dens = cum - jnp.take_along_axis(cum0, lo, axis=1)
-        dens = jnp.where(alive, dens, 0)
         j = jnp.argmax(dens, axis=1)                           # (B,)
         d0 = jnp.take_along_axis(diag_s, j[:, None], axis=1)   # (B, 1)
         sel = alive & (jnp.abs(diag_s - d0) <= band_w)
@@ -119,5 +177,13 @@ def seed_candidates(reads, lens, counts, positions, *, k, stride,
         out['rmin'].append(rmin)
         out['rmax'].append(rmax)
         out['valid'].append(cnt > 0)
-        alive = alive & (jnp.abs(diag_s - d0) > 2 * band_w)
+        kill = jnp.abs(diag_s - d0) <= 2 * band_w
+        a = jnp.sum(diag_s < d0 - 2 * band_w, axis=1)[:, None]
+        b = a + jnp.sum(kill, axis=1)[:, None]
+        overlap = jnp.clip(jnp.minimum(idx, b - 1)
+                           - jnp.maximum(lo, a) + 1, 0, None)
+        alive = alive & ~kill
+        # floor at 1 for alive hits: each counts at least itself, so an
+        # over-subtracted survivor still outranks every dead element
+        dens = jnp.where(alive, jnp.maximum(dens - overlap, 1), 0)
     return {n: jnp.stack(v, axis=1) for n, v in out.items()}

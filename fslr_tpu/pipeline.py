@@ -47,14 +47,36 @@ def _load_indexed(path: str, k: int):
         if os.path.exists(cache) and os.path.getmtime(cache) >= \
                 os.path.getmtime(path):
             z = np.load(cache)
-            sidx = refmod.SeedIndex(k=k, counts=z['counts'],
-                                    positions=z['positions'])
+            if 'shard_bounds' in z:
+                shards = []
+                for si, (c0, c1) in enumerate(z['shard_bounds']):
+                    sref = refmod.sub_reference(ref, int(c0), int(c1))
+                    shards.append(refmod.IndexShard(
+                        ref=sref, contig_base=int(c0),
+                        sidx=refmod.SeedIndex(
+                            k=k, counts=z[f'counts_{si}'],
+                            positions=z[f'positions_{si}'])))
+                sidx = refmod.SeedIndex(
+                    k=k, counts=np.zeros(0, np.int64),
+                    positions=np.zeros(0, np.int32), shards=shards)
+            else:
+                sidx = refmod.SeedIndex(k=k, counts=z['counts'],
+                                        positions=z['positions'])
             return ref, sidx
     except Exception:
         pass
     sidx = refmod.build_seed_index(ref, k)
     try:
-        np.savez(cache, counts=sidx.counts, positions=sidx.positions)
+        if sidx.shards:
+            arrs = {'shard_bounds': np.array(
+                [(sh.contig_base, sh.contig_base + len(sh.ref.names))
+                 for sh in sidx.shards], np.int64)}
+            for si, sh in enumerate(sidx.shards):
+                arrs[f'counts_{si}'] = sh.sidx.counts
+                arrs[f'positions_{si}'] = sh.sidx.positions
+            np.savez(cache, **arrs)
+        else:
+            np.savez(cache, counts=sidx.counts, positions=sidx.positions)
     except Exception:
         pass
     return ref, sidx

@@ -65,6 +65,20 @@ def _pad128(n):
     return ((n + 127) // 128) * 128
 
 
+def _device_arrays(ref: Reference, sidx: SeedIndex):
+    """Device-resident genome + index, cached on the SeedIndex so repeated
+    batches don't re-upload (the genome can be ~1 GB/shard and the TPU
+    link is high-latency)."""
+    cached = getattr(sidx, '_dev', None)
+    if cached is None:
+        import jax.numpy as jnp
+        cached = (jnp.asarray(ref.codes),
+                  jnp.asarray(sidx.counts.astype(np.int32)),
+                  jnp.asarray(sidx.positions.astype(np.int32)))
+        sidx._dev = cached
+    return cached
+
+
 def _build_regions(regions_path, names):
     """regions bed -> per-contig sorted interval arrays (pd.Interval
     semantics in the reference are closed intervals; overlap test below
@@ -120,20 +134,59 @@ def align_batch(seqs: list[str], ref: Reference, sidx: SeedIndex,
 def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
                        config: PipelineConfig,
                        backend: str | None = None) -> list[dict]:
-    """Seed + extend: candidate alignments (dicts) against one reference."""
+    """Seed + extend: candidate alignments (dicts) against one reference.
+
+    Sharded indexes (genomes > index.reference.MAX_UNSHARDED_BASES, e.g.
+    whole human): candidates are gathered per shard with shard-local int32
+    positions and contig ids remapped onto the parent reference — the
+    selection DP then arbitrates across shards exactly as it does across
+    the masked/whole candidate pool."""
+    if sidx.shards:
+        return _gather_candidates_sharded(seqs, sidx, config, backend)
+    cand_rows, enc_fwd = _seed_rows(seqs, ref, sidx, config, backend)
+    return _extend_rows(cand_rows, seqs, enc_fwd, ref, sidx, config,
+                        backend)
+
+
+def _gather_candidates_sharded(seqs: list[str], sidx: SeedIndex,
+                               config: PipelineConfig,
+                               backend: str | None = None) -> list[dict]:
+    """Seed every shard, merge candidates to the same per-(read, strand)
+    budget a single index would have (top max_candidates by seed count —
+    per-shard seeding would otherwise grant each shard its own budget and
+    emit extra low-support alignments), then extend per shard."""
+    acfg = config.align
+    per_shard_rows = []
+    enc_fwd: dict[int, np.ndarray] = {}
+    merged = {}        # (ridx, srev) -> [(cnt, order_key, shard_i, row)]
+    for si, sh in enumerate(sidx.shards):
+        rows, enc = _seed_rows(seqs, sh.ref, sh.sidx, config, backend)
+        enc_fwd.update(enc)
+        for row in rows:
+            ridx, srev, dga, cnt = row[0], row[1], row[2], row[3]
+            merged.setdefault((ridx, srev), []).append((cnt, si, row))
+    keep_by_shard: list[list] = [[] for _ in sidx.shards]
+    for key, lst in merged.items():
+        lst.sort(key=lambda t: -t[0])
+        for cnt, si, row in lst[:acfg.max_candidates]:
+            keep_by_shard[si].append(row)
+    out = []
+    for si, sh in enumerate(sidx.shards):
+        for a in _extend_rows(keep_by_shard[si], seqs, enc_fwd, sh.ref,
+                              sh.sidx, config, backend):
+            a['chrom_idx'] += sh.contig_base
+            out.append(a)
+    return out
+
+
+def _seed_rows(seqs: list[str], ref: Reference, sidx: SeedIndex,
+               config: PipelineConfig, backend: str | None = None):
+    """Device seeding -> candidate tuples
+    (read_idx, strand_rev, diag_anchor, count, qmin, qmax) + encode cache."""
+    import jax.numpy as jnp
     acfg = config.align
     k = sidx.k
-    genome = ref.codes
-    G = len(genome)
-    counts = sidx.counts
-    positions = sidx.positions
-    contig_starts = ref.offsets[:-1]
-    contig_ends = ref.offsets[1:]
-
-    import jax.numpy as jnp
-    genome_j = jnp.asarray(genome)
-    counts_j = jnp.asarray(counts.astype(np.int32))
-    pos_j = jnp.asarray(positions.astype(np.int32))
+    _, counts_j, pos_j = _device_arrays(ref, sidx)
 
     # ---- bucket reads by length ---------------------------------------
     buckets: dict[int, list[int]] = {}
@@ -172,8 +225,16 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
             packed = jnp.stack([res[kk].astype(jnp.int32) for kk in _KEYS])
             seed_pending.append((part, step, len(part), packed))
 
+    # ONE device->host transfer for all seed batches (the TPU tunnel has
+    # ~1 s/fetch latency; per-batch fetches dominated the align stage)
+    flats = np.asarray(jnp.concatenate(
+        [p.reshape(-1) for (_, _, _, p) in seed_pending])) \
+        if seed_pending else np.zeros(0, np.int32)
+    fo = 0
     for part, step, nb, packed in seed_pending:
-        p = np.asarray(packed)
+        size = int(np.prod(packed.shape))
+        p = flats[fo:fo + size].reshape(packed.shape)
+        fo += size
         valid_a, count_a, diag_a, qmin_a, qmax_a = p
         for rr in range(2 * nb):
             r = rr if rr < nb else step + (rr - nb)
@@ -189,7 +250,16 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
                 cand_rows.append((ridx, strand_rev, int(diag_a[r, c]),
                                   int(count_a[r, c]), int(qmin_a[r, c]),
                                   int(qmax_a[r, c])))
+    return cand_rows, enc_fwd
 
+
+def _extend_rows(cand_rows: list, seqs: list[str], enc_fwd: dict,
+                 ref: Reference, sidx: SeedIndex, config: PipelineConfig,
+                 backend: str | None = None) -> list[dict]:
+    acfg = config.align
+    genome_j, _, _ = _device_arrays(ref, sidx)
+    contig_starts = ref.offsets[:-1]
+    contig_ends = ref.offsets[1:]
     if not cand_rows:
         return []
 
@@ -213,10 +283,10 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
         by_bucket.setdefault(SL, []).append(ci)
 
     # Phase A: dispatch every chunk (windows gathered on device from the
-    # device-resident genome; results stay on device).  Phase B: fetch the
-    # packed results.  Two transfers per chunk, overlapped by JAX's async
-    # dispatch — the TPU tunnel has ~300 ms per-transfer latency, so
-    # transfer count dominates at this batch size.
+    # device-resident genome; results stay on device).  Phase B: fetch ALL
+    # chunks' results in TWO transfers (one int32 concat, one uint8
+    # concat) — per-chunk fetches cost ~1 s each over the TPU tunnel and
+    # dominated this stage.
     pending = []      # (chunk, ws, SL, device packed, device emits)
     for SL, cidxs in sorted(by_bucket.items()):
         # chunk rows so device-resident traceback bits stay bounded
@@ -248,9 +318,22 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
                 q, qlens, ws, cmin, cmax, genome_j, acfg.scoring, backend)
             pending.append((chunk, ws, packed, emits))
 
+    if pending:
+        import jax.numpy as jnp
+        all_p = np.asarray(jnp.concatenate(
+            [p.reshape(-1) for (_, _, p, _) in pending]))
+        all_e = np.asarray(jnp.concatenate(
+            [e.reshape(-1) for (_, _, _, e) in pending]))
+    po = eo = 0
     for chunk, ws, packed, emits in pending:
+        psz = int(np.prod(packed.shape))
+        esz = int(np.prod(emits.shape))
+        p_np = all_p[po:po + psz].reshape(packed.shape)
+        e_np = all_e[eo:eo + esz].reshape(emits.shape)
+        po += psz
+        eo += esz
         score, qend, lane, qstart_c, l_fin, cigars_c = \
-            tbmod.finalize_extend(packed, emits)
+            tbmod.finalize_extend(p_np, e_np)
         for r, ci in enumerate(chunk):
             ridx, srev, dga, cnt, qmn, qmx = cand_rows[ci]
             if score[r] <= 0:

@@ -19,7 +19,8 @@ Replicates the observable contract of the reference worker
 
 TPU mapping: the tantan subprocess + per-read Python scanning becomes
 batched device ops — ops/tantan.repeat_mask, ops/kmer_stats.junk_blocks and
-ops/ssw.sw_max over a flattened (read, window, primer, strand) batch.
+ops/ssw.sw_max_packed over a flattened (read, window) batch with all
+primers (fwd + revcomp) lane-packed into each query row.
 Unlike the reference, the concatemer scan uses one window grid with a
 common overlap of max(primer len)+10; any alignment scoring >= 28 spans
 fewer target bases than the overlap, so decisions are identical.
@@ -100,13 +101,25 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
                 junk[i] = j[bi]
 
     # ---- short / concatemer for non-junk reads -------------------------
+    # All primers (fwd + revcomp) lane-pack into query rows at a fixed
+    # stride (ops/ssw.sw_max_packed) so one row scans one window against
+    # 128//stride primers at once — the drop test is "any primer >= 28",
+    # exactly the packed row maximum.
     primers = [panel.seqs[k] for k in panel.names]
     prim_codes = ([encode(p) for p in primers]
                   + [revcomp(encode(p)) for p in primers])
     maxp = max((len(p) for p in primers), default=0)
     overlap = maxp + cfg.chunk_overlap_pad
+    stride = 32
+    while stride < maxp:
+        stride *= 2
+    if prim_codes:
+        qrows, _, _ = ssw.pack_queries(prim_codes, stride)
+    else:
+        qrows = np.zeros((0, 128), np.uint8)
+    n_qrows = len(qrows)
 
-    win_rows = []      # (read_idx, window_start, window_end, primer_idx)
+    win_rows = []      # (read_idx, window_start, window_end, qrow_idx)
     short = np.zeros(n, dtype=bool)
     for i, rec in enumerate(records):
         if junk[i]:
@@ -116,8 +129,8 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
             short[i] = True
             continue
         for (s, e) in _concatemer_windows(L, cfg, overlap):
-            for pi in range(len(prim_codes)):
-                win_rows.append((i, s, e, pi))
+            for qi in range(n_qrows):
+                win_rows.append((i, s, e, qi))
 
     concat = np.zeros(n, dtype=bool)
     if win_rows:
@@ -132,9 +145,8 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
             NW = len(rows)
             q = np.full((NW, 128), 4, dtype=np.uint8)
             t = np.full((NW, WT), 4, dtype=np.uint8)
-            qlens = np.zeros(NW, dtype=np.int32)
             tlens = np.zeros(NW, dtype=np.int32)
-            for r, (i, s, e, pi) in enumerate(rows):
+            for r, (i, s, e, qi) in enumerate(rows):
                 if i not in enc_cache:
                     enc_cache[i] = encode(records[i].sequence)
                 interior = enc_cache[i][
@@ -142,15 +154,13 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
                 w = interior[s:e]
                 t[r, :len(w)] = w
                 tlens[r] = len(w)
-                pc = prim_codes[pi]
-                q[r, :len(pc)] = pc
-                qlens[r] = len(pc)
-            score, _, _ = ssw.sw_max(q, t, qlens, tlens, config.scoring,
-                                     backend=backend)
+                q[r] = qrows[qi]
+            score, _, _ = ssw.sw_max_packed(q, t, tlens, config.scoring,
+                                            stride, backend=backend)
             pending.append((rows, score))
         for rows, score in pending:
             score = np.asarray(score)
-            for r, (i, s, e, pi) in enumerate(rows):
+            for r, (i, s, e, qi) in enumerate(rows):
                 if score[r] >= cfg.concatemer_score:
                     concat[i] = True
 

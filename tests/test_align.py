@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from fslr_tpu.config import AlignConfig, PipelineConfig, ScoringConfig
-from fslr_tpu.encode import decode, encode, revcomp_str
+from fslr_tpu.encode import decode, encode, revcomp, revcomp_str
 from fslr_tpu.index.reference import (Reference, build_seed_index,
                                       load_reference)
 from fslr_tpu.ops import banded, selection
@@ -210,3 +210,58 @@ def test_align_no_hit(ref_and_index):
     # random 500bp vs 40kb random ref: no confident alignment expected
     for i in range(len(out)):
         assert out.score[i] < 100
+
+
+def test_sharded_index_matches_unsharded():
+    """Genomes above index.reference.MAX_UNSHARDED_BASES are split into
+    contig-aligned int32 shards; alignments must be identical to the
+    single-index path (forced here with a tiny shard cap)."""
+    rng = np.random.default_rng(77)
+    ref = _mk_ref(rng, [20000, 20000, 20000])
+    sidx_full = build_seed_index(ref, k=11)
+    sidx_sh = build_seed_index(ref, k=11, max_shard_bases=25000)
+    assert sidx_sh.shards and len(sidx_sh.shards) >= 2
+    # a split read: one segment on chr1, one reverse on chr3 (different
+    # shards), plus an exact single-segment read
+    segA = decode(ref.codes[2000:2800])
+    segB = decode(revcomp(ref.codes[45000:45900]))
+    reads = [segA + segB, decode(ref.codes[41000:42200])]
+    a = align_stage.align_batch(reads, ref, sidx_full, CONFIG,
+                                backend='jax')
+    b = align_stage.align_batch(reads, ref, sidx_sh, CONFIG, backend='jax')
+    rows_a = sorted(zip(a.read_idx.tolist(), a.chrom_idx.tolist(),
+                        a.rstart.tolist(), a.rend.tolist(),
+                        a.strand_rev.tolist(), a.score.tolist()))
+    rows_b = sorted(zip(b.read_idx.tolist(), b.chrom_idx.tolist(),
+                        b.rstart.tolist(), b.rend.tolist(),
+                        b.strand_rev.tolist(), b.score.tolist()))
+    assert rows_a == rows_b
+    assert len(rows_a) >= 3
+    names_hit = {ref.names[c] for _, c, *_ in rows_a}
+    assert {'chr1', 'chr3'} <= names_hit
+
+
+def test_shard_contig_ranges_packing():
+    from fslr_tpu.index.reference import shard_contig_ranges
+    assert shard_contig_ranges([10, 10, 10], 25) == [(0, 2), (2, 3)]
+    assert shard_contig_ranges([30, 10], 25) == [(0, 1), (1, 2)]
+    assert shard_contig_ranges([5], 25) == [(0, 1)]
+    assert shard_contig_ranges([], 25) == [(0, 0)]
+
+
+def test_window_lo_merge_matches_searchsorted():
+    """The TPU merge-rank window-start computation must equal the binary
+    search it replaces (ops/seed.py)."""
+    import jax.numpy as jnp
+
+    from fslr_tpu.ops.seed import _window_lo_merge, _window_lo_search
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        vals = np.sort(rng.integers(0, 2 ** 29, (5, 257)).astype(np.int32),
+                       axis=1)
+        # inject runs of duplicates (tie semantics matter for side='left')
+        vals[:, 40:60] = vals[:, 40:41]
+        vals = np.sort(vals, axis=1)
+        a = np.asarray(_window_lo_merge(jnp.asarray(vals), 64))
+        b = np.asarray(_window_lo_search(jnp.asarray(vals), 64))
+        np.testing.assert_array_equal(a, b)

@@ -109,3 +109,57 @@ def test_exact_match_score():
     score, tend, qend = ssw.sw_max(q, t, qlens, tlens, SSW_SC, backend='jax')
     assert float(score[0]) == 40.0      # 20 matches * 2
     assert int(qend[0]) == 19
+
+
+@pytest.mark.parametrize('backend', ['jax', 'pallas_interpret'])
+def test_sw_max_packed_matches_per_query(backend):
+    """Row max of the lane-packed kernel == max over per-primer sw_max
+    rows (segment isolation: no cross-primer paths)."""
+    rng = np.random.default_rng(21)
+    primers = [random_seq(rng, int(rng.integers(18, 25))) for _ in range(4)]
+    rows, _, _ = ssw.pack_queries(primers, 32)
+    assert rows.shape == (1, 128)
+    n = 6 if backend == 'jax' else 2
+    T = 512
+    targets = np.full((n, T), 4, np.uint8)
+    tlens = np.zeros(n, np.int32)
+    for r in range(n):
+        t = random_seq(rng, T - 10)
+        if r % 2 == 0:     # embed a mutated primer
+            p = mutate(rng, primers[r % len(primers)], sub=0.08, indel=0.04)
+            pos = int(rng.integers(0, T - 10 - len(p)))
+            t[pos:pos + len(p)] = p
+        targets[r, :len(t)] = t
+        tlens[r] = len(t)
+    q = np.broadcast_to(rows[0], (n, 128)).copy()
+    score_p, _, _ = ssw.sw_max_packed(q, targets, tlens, SSW_SC, 32,
+                                      backend=backend)
+    score_p = np.asarray(score_p)
+    # reference: one sw_max row per primer
+    best = np.zeros(n, np.float32)
+    for p in primers:
+        qp = np.full((n, 128), 4, np.uint8)
+        qp[:, :len(p)] = p
+        qlens = np.full(n, len(p), np.int32)
+        s, _, _ = ssw.sw_max(qp, targets, qlens, tlens, SSW_SC,
+                             backend=backend)
+        best = np.maximum(best, np.asarray(s))
+    assert np.allclose(score_p, best), (score_p, best)
+
+
+def test_sw_max_packed_no_cross_segment_leak():
+    """Two primers that would chain into a higher score if lanes leaked:
+    target contains primerA immediately followed by primerB; the packed
+    score must equal max(individual scores), not their sum."""
+    rng = np.random.default_rng(5)
+    pA = random_seq(rng, 20)
+    pB = random_seq(rng, 20)
+    rows, _, _ = ssw.pack_queries([pA, pB], 32)
+    target = np.concatenate([random_seq(rng, 100), pA, pB,
+                             random_seq(rng, 100)])
+    t = np.full((1, 256), 4, np.uint8)
+    t[0, :len(target)] = target
+    tlens = np.array([len(target)], np.int32)
+    s_packed, _, _ = ssw.sw_max_packed(rows[:1], t, tlens, SSW_SC, 32,
+                                       backend='jax')
+    assert float(np.asarray(s_packed)[0]) == 40.0  # 20 * match(2), not 80
