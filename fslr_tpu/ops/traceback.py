@@ -502,3 +502,27 @@ def ops_to_cigar(ops_row: np.ndarray, n: int) -> list[tuple[int, str]]:
             run = 1
     out.append((run, _OP_CHARS[prev]))
     return out
+
+
+def finalize_scores(packed):
+    """Score/end/begin columns of a fetched ``packed`` array without
+    decoding emit streams (CIGARs decode lazily per selected row with
+    :func:`decode_emit_row` — most extension candidates lose selection
+    and never need one)."""
+    p = np.asarray(packed)
+    return p[0], p[1], p[2], p[3], p[4]
+
+
+def decode_emit_row(ep_row: np.ndarray) -> list[tuple[int, str]]:
+    """CIGAR of one 2-bit-packed emit row (codes 0/1/2 = M/I/D, 3 = none,
+    emitted end->start)."""
+    e = ((ep_row[:, None] >> np.array([0, 2, 4, 6], np.uint8)) & 3)
+    e = e.reshape(-1)
+    seq = e[e != 3][::-1]
+    if len(seq) == 0:
+        return []
+    brk = np.nonzero(np.diff(seq))[0]
+    starts = np.concatenate([[0], brk + 1])
+    ends = np.concatenate([brk + 1, [len(seq)]])
+    return [(int(e_ - s_), _OP_CHARS[seq[s_]])
+            for s_, e_ in zip(starts, ends)]

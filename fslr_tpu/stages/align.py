@@ -332,8 +332,7 @@ def _extend_rows(cand_rows: list, seqs: list[str], enc_fwd: dict,
         e_np = all_e[eo:eo + esz].reshape(emits.shape)
         po += psz
         eo += esz
-        score, qend, lane, qstart_c, l_fin, cigars_c = \
-            tbmod.finalize_extend(p_np, e_np)
+        score, qend, lane, qstart_c, l_fin = tbmod.finalize_scores(p_np)
         for r, ci in enumerate(chunk):
             ridx, srev, dga, cnt, qmn, qmx = cand_rows[ci]
             if score[r] <= 0:
@@ -356,7 +355,7 @@ def _extend_rows(cand_rows: list, seqs: list[str], enc_fwd: dict,
                 qend_o=qlo + int(qend[r]) + 1,
                 qlen=Lq,
                 score=int(score[r]),
-                cigar=cigars_c[r]))
+                emits_row=e_np[r]))     # CIGAR decodes lazily if selected
 
     return all_aln
 
@@ -440,6 +439,10 @@ def _select_and_finalize(all_aln: list[dict], ref: Reference,
         b, cslot = so
         if chosen[b, cslot]:
             sel.append(a)
+    from fslr_tpu.ops import traceback as tbmod
+    for a in sel:
+        if 'cigar' not in a and a.get('emits_row') is not None:
+            a['cigar'] = tbmod.decode_emit_row(a['emits_row'])
 
     # primary = max original score per read; mapq from best overlapping
     # unselected candidate
