@@ -19,10 +19,15 @@ aligned strand's coordinates, as a SAM record's CIGAR clips would encode
 them), plus the strand flag, so the mapping-table stage can replicate the
 reference's strand-normalization math exactly.
 
-MAPQ divergence note: bwa's MAPQ model is not replicated; we report
-min(60, 60 * (s1 - s2) / s1) where s2 is the best overlapping unselected
-candidate score (0 when unique).  The reference pipeline does not filter
-on MAPQ, so downstream parity is unaffected.
+MAPQ follows the bwa-mem single-end model family (score-gap scaled by
+squared identity with a long-read length damping term, minus a
+log-penalty for the number of comparable sub-optimal hits; clamped to
+[0, 60]).  s2 (the "sub" score) is the best unselected candidate whose
+forward-strand query span overlaps the selected alignment by >50%,
+floored at min_seed_len * match_score exactly as bwa floors sub at
+``opt->min_seed_len * opt->a``.  The reference pipeline never filters on
+MAPQ (mappings.bed carries it through verbatim), so downstream parity
+does not depend on the exact constants.
 """
 
 from __future__ import annotations
@@ -470,28 +475,61 @@ def _select_and_finalize(all_aln: list[dict], ref: Reference,
         pri_local = int(np.argmax(scores))
         idxs = np.nonzero(mask)[0]
         out.is_primary[idxs[pri_local]] = True
-    # mapq
+    # mapq: bwa-mem-style single-end model (see module docstring)
     unsel_by_read: dict[int, list[dict]] = {}
     for ai, a in enumerate(all_aln):
         so = slot_of[ai]
         if so is None or not chosen[so[0]][so[1]]:
             unsel_by_read.setdefault(a['read_idx'], []).append(a)
+    match_a = acfg.scoring.match
+    mismatch_b = abs(acfg.scoring.mismatch)   # bwa's b is a penalty (+3)
+    sub_floor = acfg.seed_k * match_a
     for i in range(len(out)):
         r = int(out.read_idx[i])
         fs, fe = _fwd_span(out, i)
+        span = fe - fs
         s2 = 0
+        sub_n = 0
         for a in unsel_by_read.get(r, []):
             if a['strand_rev']:
                 afs, afe = a['qlen'] - a['qend_o'], a['qlen'] - a['qstart_o']
             else:
                 afs, afe = a['qstart_o'], a['qend_o']
             ov = min(fe, afe) - max(fs, afs)
-            if ov > 0.5 * (fe - fs):
-                s2 = max(s2, a['score'])
-        s1 = int(out.score[i])
-        out.mapq[i] = 0 if s1 <= 0 else int(
-            min(60, max(0, round(60.0 * (s1 - s2) / s1))))
+            if ov > 0.5 * span:
+                if a['score'] > s2:
+                    s2 = a['score']
+                sub_n += 1
+        out.mapq[i] = _bwa_style_mapq(
+            int(out.score[i]), s2, span,
+            int(out.rend[i]) - int(out.rstart[i]) + 1,
+            match_a, mismatch_b, sub_floor, sub_n)
     return out
+
+
+# bwa-mem mapQ model constants (mem_approx_mapq_se defaults):
+# score-gap scale 6.02/match, identity damping for alignments longer than
+# 50 bp via (log 50 / log l)^?, and a 4.343*ln(n_sub+1) crowd penalty.
+_MAPQ_COEF_LEN = 50
+_MAPQ_COEF_FAC = float(np.log(_MAPQ_COEF_LEN))
+
+
+def _bwa_style_mapq(s1: int, s2: int, qspan: int, rspan: int,
+                    match_a: int, mismatch_b: int, sub_floor: int,
+                    sub_n: int) -> int:
+    if s1 <= 0:
+        return 0
+    sub = max(s2, sub_floor)
+    if sub >= s1:
+        return 0
+    l = max(qspan, rspan, 1)
+    identity = 1.0 - (l * match_a - s1) / float((match_a + mismatch_b) * l)
+    tmp = 1.0 if l < _MAPQ_COEF_LEN else _MAPQ_COEF_FAC / np.log(l)
+    tmp *= identity * identity
+    mapq = int(6.02 * (s1 - sub) / match_a * tmp * tmp + 0.499)
+    if sub_n > 0:
+        mapq -= int(4.343 * np.log(sub_n + 1) + 0.499)
+    return int(min(60, max(0, mapq)))
 
 
 def _fwd_span(out: Alignments, i: int):

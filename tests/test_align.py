@@ -265,3 +265,32 @@ def test_window_lo_merge_matches_searchsorted():
         a = np.asarray(_window_lo_merge(jnp.asarray(vals), 64))
         b = np.asarray(_window_lo_search(jnp.asarray(vals), 64))
         np.testing.assert_array_equal(a, b)
+
+
+def test_bwa_style_mapq_model():
+    """MAPQ model properties (bwa mem single-end family): unique strong
+    hits max out, crowded/tied hits go to 0, sub-count penalizes."""
+    from fslr_tpu.stages.align import _bwa_style_mapq
+
+    # unique, perfect 500 bp alignment: s1 = 2*500, no competitor
+    m_uniq = _bwa_style_mapq(1000, 0, 500, 500, 2, 3, 22, 0)
+    assert m_uniq == 60
+    # equal-scoring competitor -> 0
+    assert _bwa_style_mapq(1000, 1000, 500, 500, 2, 3, 22, 1) == 0
+    # competitor above -> still 0 (clamped)
+    assert _bwa_style_mapq(1000, 1200, 500, 500, 2, 3, 22, 1) == 0
+    # close competitor -> low but nonzero; monotone in the gap
+    m_close = _bwa_style_mapq(1000, 980, 500, 500, 2, 3, 22, 1)
+    m_mid = _bwa_style_mapq(1000, 950, 500, 500, 2, 3, 22, 1)
+    assert 0 < m_close < m_mid <= 60
+    # more sub-optimal hits -> lower mapq (gap small enough not to clamp)
+    m_n1 = _bwa_style_mapq(1000, 950, 500, 500, 2, 3, 22, 1)
+    m_n9 = _bwa_style_mapq(1000, 950, 500, 500, 2, 3, 22, 9)
+    assert m_n9 < m_n1
+    # low-identity alignment scores lower than a clean one of equal gap
+    m_dirty = _bwa_style_mapq(400, 350, 500, 500, 2, 3, 22, 0)
+    m_clean = _bwa_style_mapq(1000, 950, 500, 500, 2, 3, 22, 0)
+    assert m_dirty < m_clean
+    # degenerate inputs
+    assert _bwa_style_mapq(0, 0, 100, 100, 2, 3, 22, 0) == 0
+    assert _bwa_style_mapq(-5, 0, 100, 100, 2, 3, 22, 0) == 0
