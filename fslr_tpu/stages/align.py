@@ -392,10 +392,11 @@ def _select_and_finalize(all_aln: list[dict], ref: Reference,
     all_aln = uniq
 
     # ---- selection DP per read ----------------------------------------
-    reads = sorted({a['read_idx'] for a in all_aln})
+    from collections import Counter
+    per_read_counts = Counter(a['read_idx'] for a in all_aln)
+    reads = sorted(per_read_counts)
     rmap = {r: i for i, r in enumerate(reads)}
-    C = min(64, max(max(sum(1 for a in all_aln if a['read_idx'] == r)
-                        for r in reads), 1))
+    C = min(64, max(max(per_read_counts.values()), 1))
     B = len(reads)
     qs = np.zeros((B, C), np.int32)
     qe = np.zeros((B, C), np.int32)
