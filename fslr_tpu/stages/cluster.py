@@ -79,17 +79,12 @@ def delete_false(bed_file):
 
 
 def keep_fillings(bed_file):
-    first, last = {}, {}
-    for idx, qname in zip(bed_file.index, bed_file['qname']):
-        if qname not in first:
-            first[qname] = idx
-        last[qname] = idx
-    to_drop = list(first.values()) + list(last.values())
-    bed_file = bed_file[~bed_file.index.isin(to_drop)].copy()
-    qlen2 = {}
-    for qname, grp in bed_file.groupby('qname'):
-        qlen2[qname] = grp['qend'].max() - grp['qstart'].min()
-    bed_file['qlen2'] = [qlen2[q] for q in bed_file['qname']]
+    qn = bed_file['qname']
+    bread = ~qn.duplicated(keep='first') | ~qn.duplicated(keep='last')
+    bed_file = bed_file[~bread].copy()
+    grouped = bed_file.groupby('qname')
+    bed_file['qlen2'] = (grouped['qend'].transform('max')
+                         - grouped['qstart'].transform('min'))
     return bed_file
 
 
@@ -182,39 +177,32 @@ class _ChromIndex:
         sel = np.nonzero(ends[lo:hi] >= start)[0] + lo
         return [items[i] for i in sel]
 
-    def all_neighbors(self):
-        """For every interval (as an IntervalItem), its overlapping
-        intervals in ascending-start order — one vectorized join per
-        chromosome.  Returns {id(item): list[IntervalItem]}."""
-        out = {}
-        for chrom, (starts, ends, pmax, items) in self.arrays.items():
-            nc = len(items)
-            hi = np.searchsorted(starts, ends, side='right')
-            lo = np.searchsorted(pmax, starts, side='left')
-            lo = np.minimum(lo, hi)
-            counts = hi - lo
-            total = int(counts.sum())
-            if total == 0:
-                for it in items:
-                    out[id(it)] = []
-                continue
-            qidx = np.repeat(np.arange(nc), counts)
-            offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
-            nidx = (np.arange(total) - np.repeat(offs, counts)
-                    + np.repeat(lo, counts))
-            keep = ends[nidx] >= starts[qidx]
-            qidx = qidx[keep]
-            nidx = nidx[keep]
-            split = np.searchsorted(qidx, np.arange(nc + 1))
-            for qi in range(nc):
-                out[id(items[qi])] = [items[j]
-                                      for j in nidx[split[qi]:split[qi + 1]]]
-        return out
-
 
 def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
                 qlen_diff, n_aln_diff, cfg: ClusterConfig):
-    """Returns (match_df, edges list in add order, node first-seen order)."""
+    """Returns (match_df, edges list in add order, node first-seen order).
+
+    Exact replay of the reference traversal (cluster.py:187-227), computed
+    lazily: the set of pairs the traversal Jaccard-tests is data-dependent
+    (the edge cap's break stops a query early), so instead of batching the
+    whole cap-unaware candidate superset — 10-20x more pairs than the
+    traversal touches on clustered amplicon data — the replay is decomposed:
+
+      1. the full encounter stream is enumerated VECTORIZED in exact
+         traversal order (query first-seen order, interval list order,
+         ascending-start neighbor order);
+      2. ``seen_edges`` dedup and the qlen2/n_alignments gate are static,
+         so they reduce the stream to per-query entry arrays without any
+         similarity value;
+      3. per-query walks are independent (each pair is tested at its
+         globally-first encounter, which the static dedup already fixed),
+         so a round loop walks every query as far as known similarities
+         allow, batch-computes the next speculative window of unknown
+         pairs on device, and repeats (window doubles per round);
+      4. a final single pass replays all queries in traversal order with
+         the fully-populated value map and emits match/edges/node order
+         exactly as the reference's sequential loop would.
+    """
     query_intervals = {}
     for itv in data:
         query_intervals.setdefault(itv.qname, []).append(itv)
@@ -235,31 +223,31 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
     size_a = np.zeros((R, M), np.float32)
     valid_a = np.zeros((R, M), bool)
     lens_a = np.zeros(R, np.int32)
+    itv_rank = {}
     for q, lst in query_intervals.items():
         r = qid[q]
         lens_a[r] = len(lst)
-        for i, itv in enumerate(lst[:M]):
-            chrom_a[r, i] = itv.chrom
-            start_a[r, i] = itv.start
-            end_a[r, i] = itv.end
-            size_a[r, i] = itv.aln_size
-            valid_a[r, i] = True
-
-    # phase 1 (fully vectorized): the cap-unaware candidate-pair SET.
-    # Greedy Jaccard is role-dependent and the edge cap's break can make
-    # the replay test a pair from either read's perspective, so both
-    # orientations are computed.  Gate/dedup order doesn't matter here —
-    # only the replay's traversal order does.
+        for i, itv in enumerate(lst):
+            itv_rank[id(itv)] = i
+            if i < M:
+                chrom_a[r, i] = itv.chrom
+                start_a[r, i] = itv.start
+                end_a[r, i] = itv.end
+                size_a[r, i] = itv.aln_size
+                valid_a[r, i] = True
     qlen2_arr = np.zeros(R, np.float64)
     naln_arr = np.zeros(R, np.float64)
     for q, lst in query_intervals.items():
         qlen2_arr[qid[q]] = lst[0].qlen2
         naln_arr[qid[q]] = lst[0].n_alignments
-    neighbors = index.all_neighbors()
-    pair_keys = []
+
+    # ---- 1. encounter stream, vectorized, in traversal order ----------
+    eq_c, ei_c, eo_c, es_c = [], [], [], []
     for chrom, (starts, ends, pmax, items) in index.arrays.items():
-        rid_arr = np.array([qid[i.qname] for i in items], np.int64)
         nc = len(items)
+        rid_arr = np.fromiter((qid[i.qname] for i in items), np.int64, nc)
+        irk_arr = np.fromiter((itv_rank[id(i)] for i in items),
+                              np.int64, nc)
         hi = np.searchsorted(starts, ends, side='right')
         lo = np.minimum(np.searchsorted(pmax, starts, side='left'), hi)
         counts = hi - lo
@@ -271,47 +259,120 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         nx = (np.arange(total) - np.repeat(offs, counts)
               + np.repeat(lo, counts))
         keep = ends[nx] >= starts[qx]
-        a = rid_arr[qx[keep]]
-        b = rid_arr[nx[keep]]
+        qx, nx = qx[keep], nx[keep]
+        a, b = rid_arr[qx], rid_arr[nx]
         ok = a != b
-        a, b = a[ok], b[ok]
-        pair_keys.append(np.minimum(a, b) * R + np.maximum(a, b))
-    if pair_keys:
-        keys = np.unique(np.concatenate(pair_keys))
-        pa = (keys // R).astype(np.int64)
-        pb = (keys % R).astype(np.int64)
-        # the qlen2 / n_alignments gate, vectorized
-        q_ok = (np.minimum(qlen2_arr[pa], qlen2_arr[pb])
-                / np.maximum(np.maximum(qlen2_arr[pa], qlen2_arr[pb]),
+        eq_c.append(a[ok])
+        ei_c.append(irk_arr[qx[ok]])
+        eo_c.append(b[ok])
+        es_c.append(nx[ok])          # ascending-start neighbor sequence
+    if eq_c:
+        eq = np.concatenate(eq_c)
+        ei = np.concatenate(ei_c)
+        eo = np.concatenate(eo_c)
+        es = np.concatenate(es_c)
+        order = np.lexsort((es, ei, eq))
+        eq, ei, eo = eq[order], ei[order], eo[order]
+        # ---- 2. static seen_edges dedup + pair gate --------------------
+        key = np.minimum(eq, eo) * R + np.maximum(eq, eo)
+        first_idx = np.unique(key, return_index=True)[1]
+        fmask = np.zeros(len(key), bool)
+        fmask[first_idx] = True
+        eq, ei, eo = eq[fmask], ei[fmask], eo[fmask]
+        q_ok = (np.minimum(qlen2_arr[eq], qlen2_arr[eo])
+                / np.maximum(np.maximum(qlen2_arr[eq], qlen2_arr[eo]),
                              1e-12)) >= 1 - qlen_diff
-        n_ok = (np.minimum(naln_arr[pa], naln_arr[pb])
-                / np.maximum(naln_arr[pa], naln_arr[pb])) >= 1 - n_aln_diff
+        n_ok = (np.minimum(naln_arr[eq], naln_arr[eo])
+                / np.maximum(naln_arr[eq], naln_arr[eo])) >= 1 - n_aln_diff
         gate = q_ok | n_ok          # "not different"
-        pa, pb = pa[gate], pb[gate]
+        eq, ei, eo = eq[gate], ei[gate], eo[gate]
     else:
-        pa = pb = np.zeros(0, np.int64)
+        eq = ei = eo = np.zeros(0, np.int64)
 
-    pair_arr = np.concatenate([
-        np.stack([pa, pb], 1), np.stack([pb, pa], 1)]).astype(np.int32)
-    j_arr, n_arr = jaccard.jaccard_pairs_indexed(
-        pair_arr, chrom_a, start_a, end_a, size_a, valid_a,
-        np.minimum(lens_a, M), overlap_cutoff, M=M)
-    # reads with more than M intervals: exact host computation
-    over = set(np.nonzero(lens_a > M)[0].tolist())
-    if over:
-        for i in range(len(pair_arr)):
-            qa, qb = int(pair_arr[i, 0]), int(pair_arr[i, 1])
-            if qa in over or qb in over:
-                j_arr[i], n_arr[i] = jaccard.jaccard_host(
-                    as_tuples(query_intervals[qnames_order[qa]]),
-                    as_tuples(query_intervals[qnames_order[qb]]),
-                    overlap_cutoff)
-    jmap = {(int(pair_arr[i, 0]), int(pair_arr[i, 1])):
-            (float(j_arr[i]), int(n_arr[i]))
-            for i in range(len(pair_arr))}
+    bounds = np.searchsorted(eq, np.arange(R + 1))
+    over = np.nonzero(lens_a > M)[0]
+    over_set = set(over.tolist())
+    jmap: dict[tuple[int, int], tuple[float, int]] = {}
+    cutoffs = list(jaccard_cutoffs)
+    n_cut = len(cutoffs)
 
-    # phase 2: exact replay of the reference traversal with the edge cap
-    seen = set()
+    def walk(q, start_i, edge_count, emit=None, request=None, W=0):
+        """Resume query q's traversal at entry start_i.  Returns
+        (finished, i, edge_count); appends unknown (qa, qb) keys to
+        ``request`` (speculative W-window) when stalled."""
+        lo_b, hi_b = int(bounds[q]), int(bounds[q + 1])
+        i = start_i
+        while i < hi_b:
+            other = int(eo[i])
+            val = jmap.get((q, other))
+            if val is None:
+                if request is not None:
+                    end = min(i + W, hi_b)
+                    for t in range(i, end):
+                        k2 = (q, int(eo[t]))
+                        if k2 not in jmap:
+                            request.append(k2)
+                return False, i, edge_count
+            j, n_i = val
+            if n_i != 0:
+                target = cutoffs[n_i - 1] if n_i - 1 < n_cut else cutoffs[-1]
+                if j >= target:
+                    edge_count += 1
+                    if emit is not None:
+                        emit(q, other, j)
+                if edge_count >= edge_threshold:
+                    # break = skip the rest of this interval's neighbors
+                    cur = ei[i]
+                    i += 1
+                    while i < hi_b and ei[i] == cur:
+                        i += 1
+                    continue
+            i += 1
+        return True, i, edge_count
+
+    def resolve(requests):
+        """Batch-compute greedy Jaccard for (qa, qb) ordered pairs; the
+        querying read is the l1 role (greedy matching is role-dependent)."""
+        req = np.array(requests, np.int64)
+        if over_set:
+            host = np.isin(req[:, 0], over) | np.isin(req[:, 1], over)
+        else:
+            host = np.zeros(len(req), bool)
+        dev = req[~host]
+        if len(dev):
+            j_arr, n_arr = jaccard.jaccard_pairs_indexed(
+                dev.astype(np.int32), chrom_a, start_a, end_a, size_a,
+                valid_a, np.minimum(lens_a, M), overlap_cutoff, M=M)
+            for t in range(len(dev)):
+                jmap[(int(dev[t, 0]), int(dev[t, 1]))] = (
+                    float(j_arr[t]), int(n_arr[t]))
+        for qa, qb in req[host]:
+            jmap[(int(qa), int(qb))] = jaccard.jaccard_host(
+                as_tuples(query_intervals[qnames_order[qa]]),
+                as_tuples(query_intervals[qnames_order[qb]]),
+                overlap_cutoff)
+
+    # ---- 3. round loop: walk all queries, batch unknown pairs ---------
+    active = np.nonzero(bounds[1:] > bounds[:-1])[0]
+    pos = {int(q): (int(bounds[q]), 0) for q in active}
+    pending = list(pos.keys())
+    W = 64
+    while pending:
+        requests: list[tuple[int, int]] = []
+        nxt = []
+        for q in pending:
+            i, ec = pos[q]
+            fin, i, ec = walk(q, i, ec, request=requests, W=W)
+            pos[q] = (i, ec)
+            if not fin:
+                nxt.append(q)
+        if not requests:
+            break
+        resolve(requests)
+        pending = nxt
+        W = min(W * 2, 8192)
+
+    # ---- 4. emit pass in exact traversal order -------------------------
     match = set()
     edges = []
     node_pos = {}
@@ -320,45 +381,15 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         if n not in node_pos:
             node_pos[n] = len(node_pos)
 
-    for query_key, list1 in query_intervals.items():
-        qa = qid[query_key]
-        edge_count = 0
-        for itv in list1:
-            for o in neighbors[id(itv)]:
-                qb = qid[o.qname]
-                if qb == qa:
-                    continue
-                b = (qa * R + qb) if qa < qb else (qb * R + qa)
-                if b in seen:
-                    continue
-                seen.add(b)
-                if different_lengths_or_alignments(itv, o, qlen_diff,
-                                                   n_aln_diff):
-                    continue
-                key = (qa, qb)
-                if key not in jmap:
-                    # The edge cap's break re-orders some encounters vs the
-                    # cap-unaware phase-1 traversal, and greedy Jaccard is
-                    # role-dependent — compute the missing orientation
-                    # exactly on host (same greedy-first-match semantics).
-                    jmap[key] = jaccard.jaccard_host(
-                        as_tuples(query_intervals[query_key]),
-                        as_tuples(query_intervals[o.qname]),
-                        overlap_cutoff)
-                j, n_i = jmap[key]
-                if n_i == 0:
-                    continue
-                target = (jaccard_cutoffs[n_i - 1]
-                          if n_i - 1 < len(jaccard_cutoffs)
-                          else jaccard_cutoffs[-1])
-                if j >= target:
-                    match.add((query_key, o.qname, j))
-                    note(query_key)
-                    note(o.qname)
-                    edges.append((query_key, o.qname))
-                    edge_count += 1
-                if edge_count >= edge_threshold:
-                    break
+    def emit(qa, qb, j):
+        name_a, name_b = qnames_order[qa], qnames_order[qb]
+        match.add((name_a, name_b, j))
+        note(name_a)
+        note(name_b)
+        edges.append((name_a, name_b))
+
+    for q in active:
+        walk(int(q), int(bounds[q]), 0, emit=emit)
 
     match_df = pd.DataFrame(
         match, columns=['query1', 'query2', 'jaccard_similarity'])
