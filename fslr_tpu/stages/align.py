@@ -323,20 +323,19 @@ def _extend_rows(cand_rows: list, seqs: list[str], enc_fwd: dict,
                 q, qlens, ws, cmin, cmax, genome_j, acfg.scoring, backend)
             pending.append((chunk, ws, packed, emits))
 
+    # Fetch ONLY the packed score columns here (6 int32/row); emit streams
+    # stay device-resident — selection drops most candidates, so the
+    # selected rows are device-gathered and fetched afterwards in one
+    # transfer (_fetch_selected_emits).
     if pending:
         import jax.numpy as jnp
         all_p = np.asarray(jnp.concatenate(
             [p.reshape(-1) for (_, _, p, _) in pending]))
-        all_e = np.asarray(jnp.concatenate(
-            [e.reshape(-1) for (_, _, _, e) in pending]))
-    po = eo = 0
+    po = 0
     for chunk, ws, packed, emits in pending:
         psz = int(np.prod(packed.shape))
-        esz = int(np.prod(emits.shape))
         p_np = all_p[po:po + psz].reshape(packed.shape)
-        e_np = all_e[eo:eo + esz].reshape(emits.shape)
         po += psz
-        eo += esz
         score, qend, lane, qstart_c, l_fin = tbmod.finalize_scores(p_np)
         for r, ci in enumerate(chunk):
             ridx, srev, dga, cnt, qmn, qmx = cand_rows[ci]
@@ -360,7 +359,8 @@ def _extend_rows(cand_rows: list, seqs: list[str], enc_fwd: dict,
                 qend_o=qlo + int(qend[r]) + 1,
                 qlen=Lq,
                 score=int(score[r]),
-                emits_row=e_np[r]))     # CIGAR decodes lazily if selected
+                emit_dev=emits,         # device 2-bit emit buffer
+                emit_row=r))            # CIGAR decodes lazily if selected
 
     return all_aln
 
@@ -445,10 +445,7 @@ def _select_and_finalize(all_aln: list[dict], ref: Reference,
         b, cslot = so
         if chosen[b, cslot]:
             sel.append(a)
-    from fslr_tpu.ops import traceback as tbmod
-    for a in sel:
-        if 'cigar' not in a and a.get('emits_row') is not None:
-            a['cigar'] = tbmod.decode_emit_row(a['emits_row'])
+    _fetch_selected_emits(sel)
 
     # primary = max original score per read; mapq from best overlapping
     # unselected candidate
@@ -531,6 +528,38 @@ def _bwa_style_mapq(s1: int, s2: int, qspan: int, rspan: int,
     if sub_n > 0:
         mapq -= int(4.343 * np.log(sub_n + 1) + 0.499)
     return int(min(60, max(0, mapq)))
+
+
+def _fetch_selected_emits(sel: list[dict]):
+    """Decode CIGARs for selected alignments only: device-gather their
+    rows from the (still device-resident) 2-bit emit buffers and fetch
+    everything in ONE transfer — unselected candidates' emit streams never
+    cross the TPU link."""
+    from fslr_tpu.ops import traceback as tbmod
+    need = [a for a in sel
+            if 'cigar' not in a and a.get('emit_dev') is not None]
+    if not need:
+        return
+    import jax.numpy as jnp
+    groups: dict[int, tuple] = {}
+    for a in need:
+        groups.setdefault(id(a['emit_dev']), (a['emit_dev'], []))[1] \
+            .append(a)
+    flats = []
+    for dev, alns in groups.values():
+        rows = jnp.asarray(np.array([a['emit_row'] for a in alns],
+                                    np.int32))
+        flats.append(jnp.take(dev, rows, axis=0).reshape(-1))
+    flat = np.asarray(jnp.concatenate(flats) if len(flats) > 1
+                      else flats[0])
+    off = 0
+    for dev, alns in groups.values():
+        t4 = int(dev.shape[1])
+        block = flat[off:off + len(alns) * t4].reshape(len(alns), t4)
+        off += len(alns) * t4
+        for a, row in zip(alns, block):
+            a['cigar'] = tbmod.decode_emit_row(row)
+            a['emit_dev'] = None        # release the device buffer ref
 
 
 def _fwd_span(out: Alignments, i: int):
