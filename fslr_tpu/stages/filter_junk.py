@@ -68,6 +68,19 @@ def _concatemer_windows(length: int, cfg, overlap: int):
     return out
 
 
+def _pack_mask_device(m):
+    """Bit-pack a (N, L) bool mask to (N, ceil(L/8)) uint8 on device
+    (little-endian bit order, matching np.unpackbits(bitorder='little'))."""
+    import jax.numpy as jnp
+    N, L = m.shape
+    L8 = (L + 7) // 8 * 8
+    if L8 != L:
+        m = jnp.pad(m, ((0, 0), (0, L8 - L)))
+    w = jnp.array([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(m.reshape(N, L8 // 8, 8).astype(jnp.uint8)
+                   * w[None, None, :], axis=2).astype(jnp.uint8)
+
+
 def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
                         config: PipelineConfig, backend: str | None = None):
     """Classify records. Returns (keep_flags, masks, counters)."""
@@ -85,6 +98,11 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
         L = bucket_length(len(rec.sequence), config.batch.length_buckets)
         buckets.setdefault(L, []).append(i)
 
+    # Dispatch every batch, then fetch ALL results in two transfers (masks
+    # bit-packed 8x on device) — per-batch blocking fetches over the
+    # high-latency TPU link dominated this stage at 10k+ reads.
+    import jax.numpy as jnp
+    mask_pending = []       # (part, L, packed-mask dev, junk dev)
     for L, idxs in sorted(buckets.items()):
         # cap device batch so the HMM forward storage stays bounded
         step = max(1, min(config.batch.batch_size, (1 << 21) // L))
@@ -94,11 +112,27 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
             # fixed batch shape (step rows) so the HMM compiles once
             seqs = seqs + [''] * (step - len(part))
             seq, lens = batch_encode(seqs, L)
-            m = np.asarray(tantan.repeat_mask(seq, lens, cfg))
-            j = np.asarray(kmer_stats.junk_blocks(seq, lens, m, cfg))
+            m = tantan.repeat_mask(seq, lens, cfg)
+            j = kmer_stats.junk_blocks(seq, lens, m, cfg)
+            mask_pending.append((part, L, _pack_mask_device(m), j))
+    if mask_pending:
+        flat_m = np.asarray(jnp.concatenate(
+            [mp.reshape(-1) for (_, _, mp, _) in mask_pending]))
+        flat_j = np.asarray(jnp.concatenate(
+            [jd.reshape(-1).astype(jnp.uint8)
+             for (_, _, _, jd) in mask_pending]))
+        mo = jo = 0
+        for part, L, mp, jd in mask_pending:
+            msz = int(np.prod(mp.shape))
+            m = np.unpackbits(
+                flat_m[mo:mo + msz].reshape(mp.shape).astype(np.uint8),
+                axis=1, bitorder='little')[:, :L].astype(bool)
+            j = flat_j[jo:jo + jd.shape[0]]
+            mo += msz
+            jo += jd.shape[0]
             for bi, i in enumerate(part):
                 masks[i] = m[bi]
-                junk[i] = j[bi]
+                junk[i] = bool(j[bi])
 
     # ---- short / concatemer for non-junk reads -------------------------
     # All primers (fwd + revcomp) lane-pack into query rows at a fixed
@@ -158,10 +192,16 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
             score, _, _ = ssw.sw_max_packed(q, t, tlens, config.scoring,
                                             stride, backend=backend)
             pending.append((rows, score))
+        flat_s = np.asarray(jnp.concatenate(
+            [jnp.ravel(s) for (_, s) in pending]) if len(pending) > 1
+            else jnp.ravel(pending[0][1]))
+        so = 0
         for rows, score in pending:
-            score = np.asarray(score)
+            ns = int(np.prod(score.shape))
+            svals = flat_s[so:so + ns]
+            so += ns
             for r, (i, s, e, qi) in enumerate(rows):
-                if score[r] >= cfg.concatemer_score:
+                if svals[r] >= cfg.concatemer_score:
                     concat[i] = True
 
     # ---- decisions + counters (reference order: junk, then short/concat)
