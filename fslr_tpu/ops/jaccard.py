@@ -99,6 +99,41 @@ def jaccard_pairs(lists1, lists2, percentage: float, M: int = 32):
     return j, inter
 
 
+@functools.partial(jax.jit, static_argnames=('M',))
+def _jaccard_gather(p, chrom, start, end, size, valid, lens, pct, M):
+    """Gather both reads' interval rows for each pair and run the greedy
+    matcher; returns ONE (2, N) float32 array (j row, n_i row) so a chunk
+    costs a single device->host transfer."""
+    a = p[:, 0]
+    b = p[:, 1]
+    j, n_i = _jaccard_impl(
+        chrom[a], start[a], end[a], size[a], valid[a],
+        chrom[b], start[b], end[b], size[b], valid[b],
+        lens[a], lens[b], pct, M)
+    return jnp.stack([j, n_i.astype(jnp.float32)])
+
+
+def upload_interval_arrays(chrom, start, end, size, valid, lens):
+    """Move the per-read padded interval arrays to device once; the tuple
+    feeds every jaccard_pairs_indexed call (repeated calls with numpy
+    inputs would re-upload per call).  The read dimension is padded to a
+    power of two: the gathered-table shape is baked into the compiled
+    kernel, and an unpadded R would recompile per dataset."""
+    import numpy as np
+    if isinstance(chrom, jax.Array):    # already a device tuple member
+        return (chrom, start, end, size, valid, lens)
+    R = len(lens)
+    R2 = max(256, 1 << (max(R - 1, 1)).bit_length())
+    if R2 != R:
+        pad2 = [(0, R2 - R), (0, 0)]
+        chrom, start, end, size, valid = (
+            np.pad(x, pad2) for x in (chrom, start, end, size, valid))
+        lens = np.pad(lens, (0, R2 - R))
+    return (jnp.asarray(chrom), jnp.asarray(start), jnp.asarray(end),
+            jnp.asarray(size, jnp.float32), jnp.asarray(valid),
+            jnp.asarray(lens, jnp.int32))
+
+
 def jaccard_pairs_indexed(pairs, chrom, start, end, size, valid, lens,
                           percentage: float, M: int = 32,
                           chunk: int = 1 << 18):
@@ -107,7 +142,8 @@ def jaccard_pairs_indexed(pairs, chrom, start, end, size, valid, lens,
     Args:
       pairs: (N, 2) int32 read indices (l1 role first — greedy matching is
         role-dependent).
-      chrom/start/end/size/valid: (R, M) per-read padded interval arrays.
+      chrom/start/end/size/valid: (R, M) per-read padded interval arrays
+        (numpy, or device arrays from :func:`upload_interval_arrays`).
       lens: (R,) true interval counts (may exceed M; such reads are
         handled exactly on host by the caller's fallback).
     Returns (j, n_i) numpy arrays of length N.
@@ -116,36 +152,29 @@ def jaccard_pairs_indexed(pairs, chrom, start, end, size, valid, lens,
     N = len(pairs)
     if N == 0:
         return np.zeros(0, np.float32), np.zeros(0, np.int32)
-    from fslr_tpu.ops.ssw import pad_rows_pow2
-    chrom_j = jnp.asarray(chrom)
-    start_j = jnp.asarray(start)
-    end_j = jnp.asarray(end)
-    size_j = jnp.asarray(size, jnp.float32)
-    valid_j = jnp.asarray(valid)
-    lens_j = jnp.asarray(lens, jnp.int32)
-
-    @functools.partial(jax.jit, static_argnames=('M',))
-    def run(p, M):
-        a = p[:, 0]
-        b = p[:, 1]
-        return _jaccard_impl(
-            chrom_j[a], start_j[a], end_j[a], size_j[a], valid_j[a],
-            chrom_j[b], start_j[b], end_j[b], size_j[b], valid_j[b],
-            lens_j[a], lens_j[b], float(percentage), M)
+    dev = upload_interval_arrays(chrom, start, end, size, valid, lens)
 
     js = np.zeros(N, np.float32)
     ns = np.zeros(N, np.int32)
     pairs = np.asarray(pairs, np.int32)
+    pending = []
+    # exactly two padded batch shapes -> at most two compiled kernels
+    # (pow2 padding compiled a fresh kernel per magnitude, and cold
+    # compiles through the remote TPU compile service cost ~20-60 s each)
+    small = min(4096, chunk)
     for off in range(0, N, chunk):
         part = pairs[off:off + chunk]
         n0 = len(part)
-        npad = pad_rows_pow2(n0, 256)
+        npad = small if n0 <= small else chunk
         if npad != n0:
             part = np.concatenate(
                 [part, np.zeros((npad - n0, 2), np.int32)])
-        j, n_i = run(jnp.asarray(part), M)
-        js[off:off + n0] = np.asarray(j)[:n0]
-        ns[off:off + n0] = np.asarray(n_i)[:n0]
+        pending.append((off, n0, _jaccard_gather(
+            jnp.asarray(part), *dev, float(percentage), M=M)))
+    for off, n0, packed in pending:
+        p = np.asarray(packed)
+        js[off:off + n0] = p[0, :n0]
+        ns[off:off + n0] = p[1, :n0].astype(np.int32)
     return js, ns
 
 

@@ -241,20 +241,21 @@ def _seed_rows(seqs: list[str], ref: Reference, sidx: SeedIndex,
         p = flats[fo:fo + size].reshape(packed.shape)
         fo += size
         valid_a, count_a, diag_a, qmin_a, qmax_a = p
-        for rr in range(2 * nb):
-            r = rr if rr < nb else step + (rr - nb)
-            ridx = part[rr % nb]
-            strand_rev = rr >= nb
-            for c in range(acfg.max_candidates):
-                if not valid_a[r, c]:
-                    continue
-                if count_a[r, c] < acfg.min_chain_seeds:
-                    continue
-                if qmax_a[r, c] - qmin_a[r, c] < acfg.min_band_span:
-                    continue
-                cand_rows.append((ridx, strand_rev, int(diag_a[r, c]),
-                                  int(count_a[r, c]), int(qmin_a[r, c]),
-                                  int(qmax_a[r, c])))
+        # vectorized candidate filter; np.nonzero's row-major order equals
+        # the reference iteration (fwd rows of this part, then rc rows)
+        ridx_row = np.full(2 * step, -1, np.int64)
+        ridx_row[:nb] = part
+        ridx_row[step:step + nb] = part
+        srev_row = np.zeros(2 * step, bool)
+        srev_row[step:] = True
+        ok = ((valid_a != 0) & (count_a >= acfg.min_chain_seeds)
+              & (qmax_a - qmin_a >= acfg.min_band_span)
+              & (ridx_row[:, None] >= 0))
+        rr, cc = np.nonzero(ok)
+        cand_rows.extend(zip(
+            ridx_row[rr].tolist(), srev_row[rr].tolist(),
+            diag_a[rr, cc].tolist(), count_a[rr, cc].tolist(),
+            qmin_a[rr, cc].tolist(), qmax_a[rr, cc].tolist()))
     return cand_rows, enc_fwd
 
 

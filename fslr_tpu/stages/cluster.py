@@ -241,8 +241,16 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         qlen2_arr[qid[q]] = lst[0].qlen2
         naln_arr[qid[q]] = lst[0].n_alignments
 
-    # ---- 1. encounter stream, vectorized, in traversal order ----------
-    eq_c, ei_c, eo_c, es_c = [], [], [], []
+    # ---- 1+2. encounter stream -> first-encounter pairs, vectorized ----
+    # Each (pairkey, travkey) encounter is reduced to the pair's earliest
+    # traversal position with ONE sort + minimum.reduceat — the encounter
+    # stream (all-pairs interval joins at recurrent breakpoints) is 2-10x
+    # larger than the unique-pair set and never needs full materialization
+    # of per-encounter attribute columns.
+    max_itv = max((len(v) for v in query_intervals.values()), default=1)
+    max_nc = max((len(v[3]) for v in index.arrays.values()), default=1) + 1
+    trav_scale = max_itv * max_nc
+    pk_c, tv_c = [], []
     for chrom, (starts, ends, pmax, items) in index.arrays.items():
         nc = len(items)
         rid_arr = np.fromiter((qid[i.qname] for i in items), np.int64, nc)
@@ -254,31 +262,41 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         total = int(counts.sum())
         if total == 0:
             continue
-        qx = np.repeat(np.arange(nc), counts)
+        idt = np.int32 if total < 2**31 and nc < 2**31 else np.int64
+        qx = np.repeat(np.arange(nc, dtype=idt), counts)
         offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
-        nx = (np.arange(total) - np.repeat(offs, counts)
-              + np.repeat(lo, counts))
+        nx = (np.arange(total, dtype=idt)
+              - np.repeat((offs - lo).astype(idt), counts))
         keep = ends[nx] >= starts[qx]
         qx, nx = qx[keep], nx[keep]
         a, b = rid_arr[qx], rid_arr[nx]
         ok = a != b
-        eq_c.append(a[ok])
-        ei_c.append(irk_arr[qx[ok]])
-        eo_c.append(b[ok])
-        es_c.append(nx[ok])          # ascending-start neighbor sequence
-    if eq_c:
-        eq = np.concatenate(eq_c)
-        ei = np.concatenate(ei_c)
-        eo = np.concatenate(eo_c)
-        es = np.concatenate(es_c)
-        order = np.lexsort((es, ei, eq))
-        eq, ei, eo = eq[order], ei[order], eo[order]
-        # ---- 2. static seen_edges dedup + pair gate --------------------
-        key = np.minimum(eq, eo) * R + np.maximum(eq, eo)
-        first_idx = np.unique(key, return_index=True)[1]
-        fmask = np.zeros(len(key), bool)
-        fmask[first_idx] = True
-        eq, ei, eo = eq[fmask], ei[fmask], eo[fmask]
+        a, b, qx, nx = a[ok], b[ok], qx[ok], nx[ok]
+        pk_c.append(np.minimum(a, b) * R + np.maximum(a, b))
+        # traversal key: query first-seen order, interval rank, then
+        # ascending-start neighbor sequence (nx)
+        tv_c.append((a * max_itv + irk_arr[qx]) * max_nc + nx)
+    pk = (np.concatenate(pk_c) if len(pk_c) > 1
+          else pk_c[0] if pk_c else np.zeros(0, np.int64))
+    if pk.size:
+        tv = np.concatenate(tv_c) if len(tv_c) > 1 else tv_c[0]
+        del pk_c, tv_c
+        ord1 = np.argsort(pk)
+        pk_s = pk[ord1]
+        tv_s = tv[ord1]
+        del pk, tv, ord1
+        grp = np.concatenate([[0], np.nonzero(np.diff(pk_s))[0] + 1])
+        pair_tv = np.minimum.reduceat(tv_s, grp)
+        pair_pk = pk_s[grp]
+        del pk_s, tv_s
+        eorder = np.argsort(pair_tv)
+        tv_e = pair_tv[eorder]
+        pk_e = pair_pk[eorder]
+        eq = tv_e // trav_scale
+        ei = (tv_e // max_nc) % max_itv
+        p_lo = pk_e // R
+        p_hi = pk_e % R
+        eo = np.where(eq == p_lo, p_hi, p_lo)
         q_ok = (np.minimum(qlen2_arr[eq], qlen2_arr[eo])
                 / np.maximum(np.maximum(qlen2_arr[eq], qlen2_arr[eo]),
                              1e-12)) >= 1 - qlen_diff
@@ -290,6 +308,8 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         eq = ei = eo = np.zeros(0, np.int64)
 
     bounds = np.searchsorted(eq, np.arange(R + 1))
+    dev_arrays = jaccard.upload_interval_arrays(
+        chrom_a, start_a, end_a, size_a, valid_a, np.minimum(lens_a, M))
     over = np.nonzero(lens_a > M)[0]
     over_set = set(over.tolist())
     jmap: dict[tuple[int, int], tuple[float, int]] = {}
@@ -341,8 +361,7 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         dev = req[~host]
         if len(dev):
             j_arr, n_arr = jaccard.jaccard_pairs_indexed(
-                dev.astype(np.int32), chrom_a, start_a, end_a, size_a,
-                valid_a, np.minimum(lens_a, M), overlap_cutoff, M=M)
+                dev.astype(np.int32), *dev_arrays, overlap_cutoff, M=M)
             for t in range(len(dev)):
                 jmap[(int(dev[t, 0]), int(dev[t, 1]))] = (
                     float(j_arr[t]), int(n_arr[t]))
