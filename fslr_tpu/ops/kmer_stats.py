@@ -82,9 +82,9 @@ def _kmer_codes_2d(seq, k):
     return c
 
 
-@functools.partial(jax.jit, static_argnames=('min_block_len',))
-def _block_stats_impl(seq, lens, mask, tel_table, min_block_len,
-                      tel_thresh, rep_thresh):
+def _runs_and_tel(seq, lens, mask, tel_table):
+    """Shared traced prelude: repeat-run segment ids, per-run length /
+    read id / start column, and telomere 6-mer content per run."""
     B, L = seq.shape
     N = B * L
     R = N // 2 + 2            # max possible runs + trash segment
@@ -117,6 +117,32 @@ def _block_stats_impl(seq, lens, mask, tel_table, min_block_len,
         member.reshape(-1).astype(jnp.int32), flat_rid, R)
     tel_tot = jnp.maximum(blen - 5, 1)
     tel_pct = tel_cnt.astype(jnp.float32) / tel_tot.astype(jnp.float32)
+    return (mask, rid2d, flat_rid, flat_mask, col, blen, bid, bstart,
+            tel_pct, R, trash)
+
+
+@functools.partial(jax.jit, static_argnames=('min_block_len',))
+def _block_gates_impl(seq, lens, mask, tel_table, min_block_len,
+                      tel_thresh):
+    """Cheap per-read gate: does any repeat run pass the length + telomere
+    conditions of the junk test?  Only gated reads need the (much more
+    expensive) segmented-sort rep score — junk requires blen > 150 AND
+    tel_pct <= 0.3 AND rep >= 0.3 (filter_junk_from_fq.py:141-150), so a
+    False gate decides junk=False without computing rep."""
+    (mask, rid2d, flat_rid, flat_mask, col, blen, bid, bstart,
+     tel_pct, R, trash) = _runs_and_tel(seq, lens, mask, tel_table)
+    B = seq.shape[0]
+    gate_block = (blen > min_block_len) & (tel_pct <= tel_thresh)
+    gate_block = gate_block & (jnp.arange(R) != trash)
+    return jnp.zeros(B, jnp.bool_).at[bid].max(gate_block, mode='drop')
+
+
+@functools.partial(jax.jit, static_argnames=('min_block_len',))
+def _block_stats_impl(seq, lens, mask, tel_table, min_block_len,
+                      tel_thresh, rep_thresh):
+    B, L = seq.shape
+    (mask, rid2d, flat_rid, flat_mask, col, blen, bid, bstart,
+     tel_pct, R, trash) = _runs_and_tel(seq, lens, mask, tel_table)
 
     # --- compute_rep per block (segmented lexsort over k = 2..6) -------
     # int32 keys only (TPU has no native int64): stable lexsort by
@@ -168,6 +194,16 @@ def junk_blocks(seq, lens, mask, cfg: JunkFilterConfig):
     """Per-read junk decision (B,) bool from the repeat mask."""
     junk, _ = junk_blocks_debug(seq, lens, mask, cfg)
     return junk
+
+
+def junk_gates(seq, lens, mask, cfg: JunkFilterConfig):
+    """Per-read (B,) bool: True iff some repeat run passes the block-length
+    + telomere gates, i.e. the read MIGHT be junk and needs the rep score.
+    junk_blocks(...) implies junk_gates(...)."""
+    table = jnp.asarray(telomere_table(6))
+    return _block_gates_impl(
+        jnp.asarray(seq), jnp.asarray(lens, jnp.int32), jnp.asarray(mask),
+        table, cfg.min_block_length, float(cfg.telomere_pct_threshold))
 
 
 def junk_blocks_debug(seq, lens, mask, cfg: JunkFilterConfig):

@@ -101,8 +101,12 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
     # Dispatch every batch, then fetch ALL results in two transfers (masks
     # bit-packed 8x on device) — per-batch blocking fetches over the
     # high-latency TPU link dominated this stage at 10k+ reads.
+    # Pass 1 computes only the repeat mask + the cheap junk GATE (block
+    # length + telomere content: no sorts).  The expensive segmented-sort
+    # rep score (kmer_stats.junk_blocks) runs in pass 2 on gated reads
+    # only — junk requires the gate, so ungated reads are junk=False.
     import jax.numpy as jnp
-    mask_pending = []       # (part, L, packed-mask dev, junk dev)
+    mask_pending = []       # (part, L, packed-mask dev, gate dev)
     for L, idxs in sorted(buckets.items()):
         # cap device batch so the HMM forward storage stays bounded
         step = max(1, min(config.batch.batch_size, (1 << 21) // L))
@@ -113,26 +117,63 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
             seqs = seqs + [''] * (step - len(part))
             seq, lens = batch_encode(seqs, L)
             m = tantan.repeat_mask(seq, lens, cfg)
-            j = kmer_stats.junk_blocks(seq, lens, m, cfg)
-            mask_pending.append((part, L, _pack_mask_device(m), j))
+            g = kmer_stats.junk_gates(seq, lens, m, cfg)
+            mask_pending.append((part, L, _pack_mask_device(m), g))
+    gate = np.zeros(n, dtype=bool)
     if mask_pending:
         flat_m = np.asarray(jnp.concatenate(
             [mp.reshape(-1) for (_, _, mp, _) in mask_pending]))
-        flat_j = np.asarray(jnp.concatenate(
-            [jd.reshape(-1).astype(jnp.uint8)
-             for (_, _, _, jd) in mask_pending]))
-        mo = jo = 0
-        for part, L, mp, jd in mask_pending:
+        flat_g = np.asarray(jnp.concatenate(
+            [gd.reshape(-1).astype(jnp.uint8)
+             for (_, _, _, gd) in mask_pending]))
+        mo = go = 0
+        for part, L, mp, gd in mask_pending:
             msz = int(np.prod(mp.shape))
             m = np.unpackbits(
                 flat_m[mo:mo + msz].reshape(mp.shape).astype(np.uint8),
                 axis=1, bitorder='little')[:, :L].astype(bool)
-            j = flat_j[jo:jo + jd.shape[0]]
+            g = flat_g[go:go + gd.shape[0]]
             mo += msz
-            jo += jd.shape[0]
+            go += gd.shape[0]
             for bi, i in enumerate(part):
                 masks[i] = m[bi]
-                junk[i] = bool(j[bi])
+                gate[i] = bool(g[bi])
+
+    # ---- pass 2: rep score for gated reads only -------------------------
+    gated = np.flatnonzero(gate)
+    if gated.size:
+        gbuckets: dict[int, list[int]] = {}
+        for i in gated:
+            L = bucket_length(len(records[i].sequence),
+                              config.batch.length_buckets)
+            gbuckets.setdefault(L, []).append(int(i))
+        rep_pending = []    # (part, junk dev)
+        for L, idxs in sorted(gbuckets.items()):
+            cap = max(1, min(config.batch.batch_size, (1 << 21) // L))
+            for off in range(0, len(idxs), cap):
+                part = idxs[off:off + cap]
+                # pow2-padded row count: bounded compiled-shape set
+                step = 8
+                while step < len(part):
+                    step *= 2
+                step = min(step, cap)
+                seqs = [records[i].sequence for i in part]
+                seqs = seqs + [''] * (step - len(part))
+                seq, lens = batch_encode(seqs, L)
+                m = np.zeros((step, L), dtype=bool)
+                for bi, i in enumerate(part):
+                    m[bi, :len(masks[i])] = masks[i]
+                j = kmer_stats.junk_blocks(seq, lens, jnp.asarray(m), cfg)
+                rep_pending.append((part, j))
+        flat_j = np.asarray(jnp.concatenate(
+            [jd.reshape(-1).astype(jnp.uint8) for (_, jd) in rep_pending])
+            if len(rep_pending) > 1
+            else rep_pending[0][1].astype(jnp.uint8))
+        jo = 0
+        for part, jd in rep_pending:
+            for bi, i in enumerate(part):
+                junk[i] = bool(flat_j[jo + bi])
+            jo += jd.shape[0]
 
     # ---- short / concatemer for non-junk reads -------------------------
     # All primers (fwd + revcomp) lane-pack into query rows at a fixed
