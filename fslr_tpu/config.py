@@ -93,6 +93,12 @@ class AlignConfig:
     extension_margin: int = 256     # bp extended beyond the seed span
     min_chain_seeds: int = 2        # bands with fewer seeds are discarded
     min_band_span: int = 18         # min query span (bp) of a band's seeds
+    # bwa mem chain filtering (mem_chain_flt): a band overlapped by a kept
+    # band over >= mask_level of its query span is dropped when its seed
+    # count is < drop_ratio x the kept band's (bwa -D 0.25 at
+    # /root/reference/fslr/main.py:125; mask_level is bwa's 0.5 default)
+    chain_mask_level: float = 0.5
+    chain_drop_ratio: float = 0.25
     scoring: ScoringConfig = dataclasses.field(
         default_factory=lambda: ScoringConfig(gap_open_is_first_base=False))
     # dodi-equivalent selection (fslr/main.py:137)

@@ -149,6 +149,7 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
     if sidx.shards:
         return _gather_candidates_sharded(seqs, sidx, config, backend)
     cand_rows, enc_fwd = _seed_rows(seqs, ref, sidx, config, backend)
+    cand_rows = _chain_filter(cand_rows, seqs, config)
     return _extend_rows(cand_rows, seqs, enc_fwd, ref, sidx, config,
                         backend)
 
@@ -175,13 +176,62 @@ def _gather_candidates_sharded(seqs: list[str], sidx: SeedIndex,
         lst.sort(key=lambda t: -t[0])
         for cnt, si, row in lst[:acfg.max_candidates]:
             keep_by_shard[si].append(row)
+    keep_all = _chain_filter([r for rows in keep_by_shard for r in rows],
+                             seqs, config)
+    kept_keys = {(r[0], r[1], r[2], r[4]) for r in keep_all}
     out = []
     for si, sh in enumerate(sidx.shards):
-        for a in _extend_rows(keep_by_shard[si], seqs, enc_fwd, sh.ref,
+        rows = [r for r in keep_by_shard[si]
+                if (r[0], r[1], r[2], r[4]) in kept_keys]
+        for a in _extend_rows(rows, seqs, enc_fwd, sh.ref,
                               sh.sidx, config, backend):
             a['chrom_idx'] += sh.contig_base
             out.append(a)
     return out
+
+
+def _chain_filter(cand_rows: list, seqs: list[str],
+                  config: PipelineConfig) -> list:
+    """bwa mem chain filtering (mem_chain_flt semantics; reference invokes
+    bwa with -D 0.25, /root/reference/fslr/main.py:125): candidate bands of
+    a read are visited in seed-count order; a band is dropped when its
+    query span overlaps a kept band by >= mask_level * its own span and its
+    seed count is below drop_ratio of that kept band's.  Spurious 2-3-seed
+    bands shadowed by a real segment — 2/3 of all candidates on amplicon
+    data — never reach the extension kernel, exactly as bwa never extends
+    chains it drops here.  Comparison is across strands in forward-read
+    query coordinates, like bwa's per-read chain list."""
+    acfg = config.align
+    mask_level = acfg.chain_mask_level
+    drop_ratio = acfg.chain_drop_ratio
+    if drop_ratio <= 0:
+        return cand_rows
+    by_read: dict[int, list[int]] = {}
+    for ci, row in enumerate(cand_rows):
+        by_read.setdefault(row[0], []).append(ci)
+    keep: list = []
+    for ridx, cidxs in by_read.items():
+        L = len(seqs[ridx])
+        spans = []
+        for ci in cidxs:
+            _, srev, _, cnt, qmn, qmx = cand_rows[ci]
+            lo, hi = (L - qmx, L - qmn) if srev else (qmn, qmx)
+            spans.append((cnt, lo, hi, ci))
+        spans.sort(key=lambda t: -t[0])
+        kept: list[tuple] = []
+        for cnt, lo, hi, ci in spans:
+            span = max(hi - lo, 1)
+            shadowed = False
+            for kcnt, klo, khi in kept:
+                ov = min(hi, khi) - max(lo, klo)
+                if ov >= mask_level * span and cnt < drop_ratio * kcnt:
+                    shadowed = True
+                    break
+            if not shadowed:
+                kept.append((cnt, lo, hi))
+                keep.append(ci)
+    keep.sort()
+    return [cand_rows[ci] for ci in keep]
 
 
 def _seed_rows(seqs: list[str], ref: Reference, sidx: SeedIndex,
