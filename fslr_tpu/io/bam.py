@@ -28,8 +28,24 @@ import gzip
 import struct
 import zlib
 
+import numpy as np
+
 _SEQ_CODE = {c: i for i, c in enumerate('=ACMGRSVTWYHKDBN')}
 _SEQ_DECODE = '=ACMGRSVTWYHKDBN'
+# byte -> nibble LUT (upper+lower case; unknown -> N=15) for vectorized
+# sequence packing
+_SEQ_LUT = None
+
+
+def _seq_lut():
+    global _SEQ_LUT
+    if _SEQ_LUT is None:
+        lut = np.full(256, 15, dtype=np.uint8)
+        for c, i in _SEQ_CODE.items():
+            lut[ord(c)] = i
+            lut[ord(c.lower())] = i
+        _SEQ_LUT = lut
+    return _SEQ_LUT
 _CIGAR_OPS = 'MIDNSHP=X'
 _CIGAR_CODE = {c: i for i, c in enumerate(_CIGAR_OPS)}
 
@@ -116,15 +132,14 @@ def encode_record(r: BamRecord) -> bytes:
     cigar = b''.join(struct.pack('<I', (n << 4) | _CIGAR_CODE[op])
                      for n, op in r.cigar)
     l_seq = len(r.seq)
-    seq_bytes = bytearray((l_seq + 1) // 2)
-    for i, ch in enumerate(r.seq):
-        code = _SEQ_CODE.get(ch.upper(), 15)
-        if i % 2 == 0:
-            seq_bytes[i // 2] = code << 4
-        else:
-            seq_bytes[i // 2] |= code
+    codes = _seq_lut()[np.frombuffer(r.seq.encode(), np.uint8)]
+    if l_seq % 2:
+        codes = np.append(codes, np.uint8(0))
+    seq_bytes = ((codes[0::2] << 4) | codes[1::2]).tobytes()
     if r.qual:
-        qual = bytes((min(max(ord(c) - 33, 0), 93) for c in r.qual))
+        qual = np.clip(
+            np.frombuffer(r.qual.encode(), np.uint8).astype(np.int16) - 33,
+            0, 93).astype(np.uint8).tobytes()
     else:
         qual = b'\xff' * l_seq
     tags = b''
