@@ -80,6 +80,36 @@ def _window_lo(diag_s, band_w):
     return _window_lo_merge(diag_s, band_w)
 
 
+def _cummax_log(x):
+    """Prefix max along the last axis via log2(n) shifted maxes."""
+    n = x.shape[-1]
+    d = 1
+    while d < n:
+        shifted = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(d, 0)],
+                          constant_values=-(2 ** 31) + 1)[..., :n]
+        x = jnp.maximum(x, shifted)
+        d *= 2
+    return x
+
+
+def _bucket_lo(diag_s, band_w):
+    """lo[j] = first index of j's band_w-quantized diagonal bucket.
+
+    Replaces the exact windowed searchsorted (_window_lo_merge, two
+    (B, 2M) sorts ~120 ms at seeding width) with run detection over the
+    sorted row (~2 ms): the density it induces counts same-bucket
+    neighbours instead of the exact (d - band_w, d] window.  Density only
+    ranks peak picking — every per-candidate output (count, span extrema,
+    anchor) is still computed exactly from the |d - d0| <= band_w mask —
+    so peel order may differ but candidate quality does not."""
+    B, M = diag_s.shape
+    qd = diag_s // band_w
+    prev = jnp.pad(qd, ((0, 0), (1, 0)), constant_values=-(2 ** 31) + 1)
+    is_start = qd != prev[:, :-1]
+    idx = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
+    return _cummax_log(jnp.where(is_start, idx, -1))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('k', 'stride', 'occ_drop', 'band_w', 'max_cand', 'S',
@@ -134,17 +164,18 @@ def seed_candidates(reads, lens, counts, positions, *, k, stride,
     hr = rpos.reshape(B, M)
     hv = hit_valid.reshape(B, M)
 
-    # validity-first sort by diagonal, payloads carried through ONE
-    # multi-operand stable sort (argsort + per-payload take_along_axis
-    # costs ~0.2 s per gather on TPU at this width)
+    # validity-first sort by diagonal; hq is the only payload — validity
+    # (key < BIG) and reference position (diag + qpos) are recomputed from
+    # the sorted key instead of riding the sort (argsort + per-payload
+    # take_along_axis costs ~0.2 s per gather on TPU at this width)
     diag_s = jnp.where(hv, diag, BIG)
-    diag_s, hq, hr, hv8 = jax.lax.sort(
-        (diag_s, hq, hr, hv.astype(jnp.int32)), dimension=1, num_keys=1,
-        is_stable=True)
-    hv = hv8 > 0
+    diag_s, hq = jax.lax.sort((diag_s, hq), dimension=1, num_keys=1)
+    hv = diag_s < BIG
+    hr = diag_s + hq              # only read under sel-masks (sel => hv)
 
-    # Density of hits within (d - band_w, d]: the sort is validity-first,
-    # so the initial count is simply j - lo[j] + 1.  Suppression updates
+    # Density of hits in j's band_w-wide diagonal bucket: the sort is
+    # validity-first, so the initial count is simply j - lo[j] + 1 with
+    # lo = bucket run start (see _bucket_lo).  Suppression updates
     # dens by subtracting each killed index-interval's overlap with
     # [lo[j], j] — O(1) per element, no scans or gathers.  Where kill
     # zones of successive peaks overlap, the overlap is subtracted twice,
@@ -152,7 +183,7 @@ def seed_candidates(reads, lens, counts, positions, *, k, stride,
     # further picks in regions already covered, and the per-candidate
     # outputs (count/span extrema) are computed exactly from the alive
     # mask regardless.
-    lo = _window_lo(diag_s, band_w)
+    lo = _bucket_lo(diag_s, band_w)
     idx = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
     dens = jnp.where(hv, idx - lo + 1, 0)
     alive = hv
