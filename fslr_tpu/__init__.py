@@ -18,6 +18,8 @@ try:
         'FSLR_TPU_XLA_CACHE',
         _os.path.join(_os.path.expanduser('~'), '.cache', 'fslr_tpu_xla'))
     _jax.config.update('jax_compilation_cache_dir', _cache)
-    _jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    # cache EVERY program: the remote compile service costs ~0.4 s even for
+    # trivial programs, so dozens of sub-second compiles dominate cold starts
+    _jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 except Exception:  # pragma: no cover - cache is best-effort
     pass
