@@ -145,7 +145,12 @@ class ConsensusConfig:
 class BatchConfig:
     """Bucketing / padding policy for device batches."""
 
-    length_buckets: Sequence[int] = (512, 1024, 2048, 4096, 8192, 16384, 32768)
+    # ~1.5x steps: amplicon datasets cluster at one read length, so the
+    # bucket just above it sets the padding waste of every seeding /
+    # masking batch (pow2-only buckets waste up to 50%)
+    length_buckets: Sequence[int] = (512, 768, 1024, 1536, 2048, 3072,
+                                     4096, 6144, 8192, 12288, 16384,
+                                     24576, 32768)
     batch_size: int = 512
 
 

@@ -63,7 +63,8 @@ class Alignments:
         return len(self.read_idx)
 
 
-_SLICE_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+_SLICE_BUCKETS = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096,
+                  6144, 8192, 12288, 16384, 24576, 32768)
 
 
 def _pad128(n):

@@ -45,6 +45,9 @@ import pandas as pd
 from fslr_tpu.config import ClusterConfig
 from fslr_tpu.ops import components, jaccard
 
+# max encounters materialized per enumeration slice (see query_graph)
+ENCOUNTER_SLICE_CAP = 32 * 1024 * 1024
+
 IntervalItem = namedtuple(
     'IntervalItem',
     ['chrom', 'start', 'end', 'aln_size', 'qname', 'n_alignments', 'qlen2',
@@ -250,7 +253,22 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
     max_itv = max((len(v) for v in query_intervals.values()), default=1)
     max_nc = max((len(v[3]) for v in index.arrays.values()), default=1) + 1
     trav_scale = max_itv * max_nc
-    pk_c, tv_c = [], []
+    # Bounded-memory enumeration: the raw encounter stream is quadratic in
+    # recurrent-breakpoint group size (a 500-read group contributes ~1M
+    # encounters per interval pair; at 1M reads the full stream would be
+    # tens of GB), so interval ranges are processed in slices capped at
+    # ENCOUNTER_SLICE_CAP encounters, each reduced to per-pair minima
+    # before the next slice materializes.
+    SLICE_CAP = ENCOUNTER_SLICE_CAP
+    red_pk, red_tv = [], []
+
+    def _reduce(pk, tv):
+        ord1 = np.argsort(pk)
+        pk_s = pk[ord1]
+        tv_s = tv[ord1]
+        grp = np.concatenate([[0], np.nonzero(np.diff(pk_s))[0] + 1])
+        return pk_s[grp], np.minimum.reduceat(tv_s, grp)
+
     for chrom, (starts, ends, pmax, items) in index.arrays.items():
         nc = len(items)
         rid_arr = np.fromiter((qid[i.qname] for i in items), np.int64, nc)
@@ -262,33 +280,41 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         total = int(counts.sum())
         if total == 0:
             continue
+        ccum = np.concatenate([[0], np.cumsum(counts)])
+        # slice boundaries over query-interval index, capped by encounters
+        cuts = [0]
+        while cuts[-1] < nc:
+            nxt = int(np.searchsorted(ccum, ccum[cuts[-1]] + SLICE_CAP,
+                                      side='left'))
+            cuts.append(min(max(nxt, cuts[-1] + 1), nc))
         idt = np.int32 if total < 2**31 and nc < 2**31 else np.int64
-        qx = np.repeat(np.arange(nc, dtype=idt), counts)
-        offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
-        nx = (np.arange(total, dtype=idt)
-              - np.repeat((offs - lo).astype(idt), counts))
-        keep = ends[nx] >= starts[qx]
-        qx, nx = qx[keep], nx[keep]
-        a, b = rid_arr[qx], rid_arr[nx]
-        ok = a != b
-        a, b, qx, nx = a[ok], b[ok], qx[ok], nx[ok]
-        pk_c.append(np.minimum(a, b) * R + np.maximum(a, b))
-        # traversal key: query first-seen order, interval rank, then
-        # ascending-start neighbor sequence (nx)
-        tv_c.append((a * max_itv + irk_arr[qx]) * max_nc + nx)
-    pk = (np.concatenate(pk_c) if len(pk_c) > 1
-          else pk_c[0] if pk_c else np.zeros(0, np.int64))
-    if pk.size:
-        tv = np.concatenate(tv_c) if len(tv_c) > 1 else tv_c[0]
-        del pk_c, tv_c
-        ord1 = np.argsort(pk)
-        pk_s = pk[ord1]
-        tv_s = tv[ord1]
-        del pk, tv, ord1
-        grp = np.concatenate([[0], np.nonzero(np.diff(pk_s))[0] + 1])
-        pair_tv = np.minimum.reduceat(tv_s, grp)
-        pair_pk = pk_s[grp]
-        del pk_s, tv_s
+        for s0, s1 in zip(cuts[:-1], cuts[1:]):
+            cnt_s = counts[s0:s1]
+            tot_s = int(cnt_s.sum())
+            if tot_s == 0:
+                continue
+            qx = np.repeat(np.arange(s0, s1, dtype=idt), cnt_s)
+            offs = ccum[s0:s1] - ccum[s0]
+            nx = (np.arange(tot_s, dtype=idt)
+                  - np.repeat((offs - lo[s0:s1]).astype(idt), cnt_s))
+            keep = ends[nx] >= starts[qx]
+            qx, nx = qx[keep], nx[keep]
+            a, b = rid_arr[qx], rid_arr[nx]
+            ok = a != b
+            a, b, qx, nx = a[ok], b[ok], qx[ok], nx[ok]
+            if not len(a):
+                continue
+            pk = np.minimum(a, b) * R + np.maximum(a, b)
+            # traversal key: query first-seen order, interval rank, then
+            # ascending-start neighbor sequence (nx)
+            tv = (a * max_itv + irk_arr[qx]) * max_nc + nx
+            rpk, rtv = _reduce(pk, tv)
+            red_pk.append(rpk)
+            red_tv.append(rtv)
+    if red_pk:
+        pair_pk, pair_tv = _reduce(np.concatenate(red_pk),
+                                   np.concatenate(red_tv))
+        del red_pk, red_tv
         eorder = np.argsort(pair_tv)
         tv_e = pair_tv[eorder]
         pk_e = pair_pk[eorder]
@@ -362,9 +388,8 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         if len(dev):
             j_arr, n_arr = jaccard.jaccard_pairs_indexed(
                 dev.astype(np.int32), *dev_arrays, overlap_cutoff, M=M)
-            for t in range(len(dev)):
-                jmap[(int(dev[t, 0]), int(dev[t, 1]))] = (
-                    float(j_arr[t]), int(n_arr[t]))
+            jmap.update(zip(zip(dev[:, 0].tolist(), dev[:, 1].tolist()),
+                            zip(j_arr.tolist(), n_arr.tolist())))
         for qa, qb in req[host]:
             jmap[(int(qa), int(qb))] = jaccard.jaccard_host(
                 as_tuples(query_intervals[qnames_order[qa]]),
