@@ -164,11 +164,12 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
 
         qnames, seqs, quals = [], [], []
         labelled = sorted(glob.glob(f'{basename}.*.primers_labelled.fq'))
-        for pth in labelled:
-            for rec in read_fastx(pth):
-                qnames.append(rec.name)
-                seqs.append(rec.sequence)
-                quals.append(rec.quality)
+        with timer.stage('read_labelled'):
+            for pth in labelled:
+                for rec in read_fastx(pth):
+                    qnames.append(rec.name)
+                    seqs.append(rec.sequence)
+                    quals.append(rec.quality)
 
         with timer.stage('align'):
             aln = align_stage.align_batch(seqs, ref, sidx, config,
@@ -181,6 +182,8 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
                                 and aln.cigars is not None) else None
         records = []
         from fslr_tpu.encode import revcomp_str
+        t_rec = timer.stage('bam_records')
+        t_rec.__enter__()
         for i in range(len(aln)):
             ridx = int(aln.read_idx[i])
             pri = bool(aln.is_primary[i])
@@ -215,6 +218,7 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
                 ref_id=int(aln.chrom_idx[i]), pos=int(aln.rstart[i]),
                 mapq=int(aln.mapq[i]), cigar=cig, seq=seq, qual=qual,
                 tags={'AS': int(aln.score[i])}))
+        t_rec.__exit__(None, None, None)
         with timer.stage('bam_write'):
             bamio.write_bam(f'{basename}.bwa_dodi.bam', ref.names,
                             ref.lengths, records, write_index=True)
@@ -240,20 +244,22 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
 
     if not config.skip_clustering:
         print('Making clusters')
-        bed_file = pd.read_csv(f'{basename}.mappings.bed', sep='\t')
-        chr_lengths = bamio.get_chromosome_lengths(
-            f'{basename}.bwa_dodi.bam')
+        with timer.stage('read_mappings'):
+            bed_file = pd.read_csv(f'{basename}.mappings.bed', sep='\t')
+            chr_lengths = bamio.get_chromosome_lengths(
+                f'{basename}.bwa_dodi.bam')
         with timer.stage('clustering'):
             res = cluster_stage.cluster_stage(bed_file, chr_lengths,
                                               config.cluster)
         if res.no_clusters:
             print('No clusters were found.')
             return
-        res.cluster_bed.to_csv(f'{basename}.mappings.cluster.bed',
-                               index=False, sep='\t')
-        res.representative_bed.to_csv(
-            f'{basename}.mappings.representative.bed', index=False,
-            sep='\t')
+        with timer.stage('write_cluster_beds'):
+            res.cluster_bed.to_csv(f'{basename}.mappings.cluster.bed',
+                                   index=False, sep='\t')
+            res.representative_bed.to_csv(
+                f'{basename}.mappings.representative.bed', index=False,
+                sep='\t')
 
         if config.run_consensus:
             print('Creating consensus sequences')

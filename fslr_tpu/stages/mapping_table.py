@@ -59,99 +59,9 @@ def mapping_table(aln: Alignments, qnames: list[str], seqs: list[str],
     aln.read_idx; ``primers`` maps primer name -> primer_seq (20 bp)."""
     version = fslr_tpu.__version__
     regions = build_regions(regions_path)
+    n = len(aln)
 
-    res = []
-    order = np.argsort(aln.read_idx, kind='stable')
-    by_read: dict[int, list[int]] = {}
-    for i in order:
-        by_read.setdefault(int(aln.read_idx[i]), []).append(int(i))
-
-    for ridx, idxs in by_read.items():
-        qname = qnames[ridx]
-        # BAM SEQ is 4-bit coded, so pysam get_forward_sequence (the
-        # reference's seq source, collect_mapping_info.py:51) is always
-        # uppercase even though the pipeline carries tantan-masked
-        # lowercase through the FASTQ stages.
-        seq = seqs[ridx].upper()
-        pri_candidates = [i for i in idxs if aln.is_primary[i]]
-        if len(pri_candidates) != 1:
-            raise RuntimeError(f'primary flag problem for {qname}: '
-                               f'{len(pri_candidates)}')
-        pri = pri_candidates[0]
-        primary_reverse = bool(aln.strand_rev[pri])
-        n_aligns = len(idxs)
-
-        temp = []
-        for i in idxs:
-            qstart = int(aln.qstart_o[i])
-            qend = int(aln.qend_o[i])
-            qlen = int(aln.qlen[i])
-            align_reverse = bool(aln.strand_rev[i])
-            if primary_reverse != align_reverse:
-                start_temp = qlen - qend
-                qend = start_temp + qend - qstart
-                qstart = start_temp
-            chrom = chrom_names[int(aln.chrom_idx[i])]
-            start = int(aln.rstart[i]) + 1
-            end = int(aln.rend[i]) + 1
-            rd = {'qname': qname,
-                  'n_alignments': n_aligns,
-                  'chrom': chrom,
-                  'rstart': start,
-                  'rend': end,
-                  'strand': '-' if align_reverse else '+',
-                  'qstart': qstart,
-                  'qend': qend,
-                  'qlen': qlen,
-                  'aln_size': qend - qstart,
-                  'mapq': int(aln.mapq[i]),
-                  'alignment_score': int(aln.score[i]),
-                  'seq': seq if i == pri else '',
-                  'fslr_version': version,
-                  'inferred_by_primer': 0,
-                  }
-            if regions:
-                rd['overlaps_region'] = int(_overlaps(regions, chrom, start,
-                                                      end))
-            temp.append(rd)
-
-        if len(temp) > 1:
-            res += temp
-            continue
-
-        # inferred primer pseudo-alignments ('missing bread',
-        # collect_mapping_info.py:109-158)
-        temp = sorted(temp, key=lambda r: r['qstart'])
-        qlen = temp[0]['qlen']
-        qstart_gap = temp[0]['qstart']
-        qend_gap = qlen - temp[0]['qend']
-        p_names = qname.split('.')[-1].split('_')
-        p1, p2 = [x.rstrip('FR') for x in p_names]
-
-        if qstart_gap > 5 and qend_gap > 5:
-            res += temp
-            continue
-        base = {'qname': qname, 'n_alignments': 2, 'rstart': 0, 'rend': 0,
-                'qlen': qlen, 'aln_size': 0, 'mapq': 0,
-                'alignment_score': 0, 'seq': '', 'fslr_version': version,
-                'inferred_by_primer': 1}
-        if regions:
-            base['overlaps_region'] = 0
-        if p1 != 'False':
-            temp[0]['n_alignments'] = 2
-            p1_rd = dict(base, chrom=p1,
-                         strand='-' if p_names[0][-1] == 'R' else '+',
-                         qstart=0, qend=len(primers[p1]))
-            temp = [p1_rd, temp[0]]
-        elif p2 != 'False':
-            temp[0]['n_alignments'] = 2
-            p2_rd = dict(base, chrom=p2,
-                         strand='-' if p_names[1][-1] == 'R' else '+',
-                         qstart=qlen - len(primers[p2]), qend=qlen)
-            temp = [temp[0], p2_rd]
-        res += temp
-
-    if not res:
+    if n == 0:
         cols = ['chrom', 'rstart', 'rend', 'qname', 'n_alignments',
                 'aln_size', 'qstart', 'qend', 'strand', 'mapq', 'qlen',
                 'alignment_score', 'short_anchor<50bp', 'fslr_version',
@@ -160,16 +70,112 @@ def mapping_table(aln: Alignments, qnames: list[str], seqs: list[str],
             cols.append('overlaps_region')
         return pd.DataFrame(columns=cols)
 
-    df = pd.DataFrame.from_records(res).sort_values(['qname', 'qstart'])
+    # ---- vectorized per-alignment columns ------------------------------
+    ridx = aln.read_idx.astype(np.int64)
+    uniq, inv, counts = np.unique(ridx, return_inverse=True,
+                                  return_counts=True)
+    pris = np.flatnonzero(aln.is_primary)
+    pri_reads = ridx[pris]
+    ps = np.argsort(pri_reads)
+    if len(pris) != len(uniq) or np.any(pri_reads[ps] != uniq):
+        raise RuntimeError('primary flag problem: reads without exactly '
+                           'one primary alignment')
+    pri_per_aln = pris[ps][inv]          # primary alignment index per row
+    pri_rev = aln.strand_rev[pri_per_aln]
+    n_aligns = counts[inv]
+    qlen = aln.qlen.astype(np.int64)
+    qs_o = aln.qstart_o.astype(np.int64)
+    qe_o = aln.qend_o.astype(np.int64)
+    # flip onto the primary strand (collect_mapping_info.py:58-62)
+    flip = pri_rev != aln.strand_rev
+    qstart = np.where(flip, qlen - qe_o, qs_o)
+    qend = np.where(flip, qlen - qs_o, qe_o)
+    rstart = aln.rstart.astype(np.int64) + 1
+    rend = aln.rend.astype(np.int64) + 1
+    chrom_col = np.array(list(chrom_names), object)[aln.chrom_idx]
+    strand_col = np.where(aln.strand_rev, '-', '+')
+    # BAM SEQ is 4-bit coded, so pysam get_forward_sequence (the
+    # reference's seq source, collect_mapping_info.py:51) is always
+    # uppercase even though the pipeline carries tantan-masked
+    # lowercase through the FASTQ stages.
+    seq_col = np.full(n, '', object)
+    for i in pris:
+        seq_col[i] = seqs[int(ridx[i])].upper()
+    qname_col = np.array([qnames[int(r)] for r in ridx], object)
+    cols_all = {
+        'qname': qname_col, 'n_alignments': n_aligns, 'chrom': chrom_col,
+        'rstart': rstart, 'rend': rend, 'strand': strand_col,
+        'qstart': qstart, 'qend': qend, 'qlen': qlen,
+        'aln_size': qend - qstart, 'mapq': aln.mapq.astype(np.int64),
+        'alignment_score': aln.score.astype(np.int64), 'seq': seq_col,
+        'fslr_version': np.full(n, version, object),
+        'inferred_by_primer': np.zeros(n, np.int64),
+    }
+    if regions:
+        cols_all['overlaps_region'] = np.array(
+            [int(_overlaps(regions, chrom_col[i], int(rstart[i]),
+                           int(rend[i]))) for i in range(n)], np.int64)
 
-    bad_anchors = []
-    for grp, d in df.groupby('qname'):
-        aln_s = list(d['aln_size'])
-        if aln_s[0] < 50 or aln_s[-1] < 50:
-            bad_anchors += [1] * len(d)
+    multi = n_aligns > 1
+    df_multi = pd.DataFrame({k: v[multi] for k, v in cols_all.items()})
+
+    # ---- single-alignment reads: inferred primer pseudo-alignments
+    # ('missing bread', collect_mapping_info.py:109-158) ------------------
+    res = []
+    for i in np.flatnonzero(~multi):
+        rd = {k: (v[i].item() if isinstance(v[i], np.generic) else v[i])
+              for k, v in cols_all.items()}
+        qname = rd['qname']
+        ql = rd['qlen']
+        qstart_gap = rd['qstart']
+        qend_gap = ql - rd['qend']
+        p_names = qname.split('.')[-1].split('_')
+        p1, p2 = [x.rstrip('FR') for x in p_names]
+
+        if qstart_gap > 5 and qend_gap > 5:
+            res.append(rd)
+            continue
+        base = {'qname': qname, 'n_alignments': 2, 'rstart': 0, 'rend': 0,
+                'qlen': ql, 'aln_size': 0, 'mapq': 0,
+                'alignment_score': 0, 'seq': '', 'fslr_version': version,
+                'inferred_by_primer': 1}
+        if regions:
+            base['overlaps_region'] = 0
+        if p1 != 'False':
+            rd['n_alignments'] = 2
+            p1_rd = dict(base, chrom=p1,
+                         strand='-' if p_names[0][-1] == 'R' else '+',
+                         qstart=0, qend=len(primers[p1]))
+            res += [p1_rd, rd]
+        elif p2 != 'False':
+            rd['n_alignments'] = 2
+            p2_rd = dict(base, chrom=p2,
+                         strand='-' if p_names[1][-1] == 'R' else '+',
+                         qstart=ql - len(primers[p2]), qend=ql)
+            res += [rd, p2_rd]
         else:
-            bad_anchors += [0] * len(d)
-    df['short_anchor<50bp'] = bad_anchors
+            res.append(rd)
+
+    if res:
+        df = pd.concat([df_multi, pd.DataFrame.from_records(res)],
+                       ignore_index=True)
+    else:
+        df = df_multi
+    df = df.sort_values(['qname', 'qstart'])
+
+    # short-anchor flag: first/last alignment (by qstart) spans < 50 bp
+    # (collect_mapping_info.py:164-172); group-start/end extraction over
+    # the (qname, qstart)-sorted frame replaces the per-qname groupby loop
+    qn = df['qname'].to_numpy()
+    sizes = df['aln_size'].to_numpy()
+    starts_m = np.ones(len(df), bool)
+    starts_m[1:] = qn[1:] != qn[:-1]
+    ends_m = np.empty(len(df), bool)
+    ends_m[:-1] = starts_m[1:]
+    ends_m[-1] = True
+    gidx = np.cumsum(starts_m) - 1
+    bad = (sizes[starts_m] < 50) | (sizes[ends_m] < 50)
+    df['short_anchor<50bp'] = bad[gidx].astype(int)
 
     df = df.sort_values(['n_alignments', 'qname', 'qstart'],
                         ascending=[False, True, True])
