@@ -450,8 +450,11 @@ def _decode_record(data, off: int, end: int) -> BamRecord:
 
 
 def get_chromosome_lengths(bam_path: str) -> dict[str, int]:
-    """Parity with cluster.get_chromosome_lengths (cluster.py:173-175)."""
-    names, lengths, _ = read_bam(bam_path)
+    """Parity with cluster.get_chromosome_lengths (cluster.py:173-175).
+    Parses only the BGZF blocks covering the header, not the records."""
+    with open(bam_path, 'rb') as fh:
+        data = fh.read()
+    names, lengths, _ = _read_bam_header(data)
     return dict(zip(names, lengths))
 
 

@@ -245,7 +245,11 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
     if not config.skip_clustering:
         print('Making clusters')
         with timer.stage('read_mappings'):
-            bed_file = pd.read_csv(f'{basename}.mappings.bed', sep='\t')
+            try:        # pyarrow parses the seq-heavy TSV ~2x faster
+                bed_file = pd.read_csv(f'{basename}.mappings.bed',
+                                       sep='\t', engine='pyarrow')
+            except Exception:
+                bed_file = pd.read_csv(f'{basename}.mappings.bed', sep='\t')
             chr_lengths = bamio.get_chromosome_lengths(
                 f'{basename}.bwa_dodi.bam')
         with timer.stage('clustering'):

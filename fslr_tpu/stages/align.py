@@ -235,6 +235,23 @@ def _chain_filter(cand_rows: list, seqs: list[str],
     return [cand_rows[ci] for ci in keep]
 
 
+def _occ_cap(sidx: SeedIndex, acfg) -> int:
+    """Data-adaptive per-seed occurrence cap: the seeding hit grid is
+    (samples x cap), so a unique-k-mer reference (amplicon panels, small
+    contigs) padding to the configured max (16) wastes 4x sort/NMS/gather
+    work on empty slots.  Cap at the 99.9th percentile of the index's
+    nonzero k-mer occupancy (floor 4, ceiling max_kmer_occ); repetitive
+    genomes (human: mean 11-mer occ ~700) keep the full cap."""
+    c = getattr(sidx, '_occ_cap', None)
+    if c is None:
+        occ = np.diff(sidx.counts)
+        nz = occ[occ > 0]
+        p = int(np.percentile(nz, 99.9)) if nz.size else 1
+        c = int(min(acfg.max_kmer_occ, max(4, p)))
+        sidx._occ_cap = c
+    return c
+
+
 def _seed_rows(seqs: list[str], ref: Reference, sidx: SeedIndex,
                config: PipelineConfig, backend: str | None = None):
     """Device seeding -> candidate tuples
@@ -243,6 +260,7 @@ def _seed_rows(seqs: list[str], ref: Reference, sidx: SeedIndex,
     acfg = config.align
     k = sidx.k
     _, counts_j, pos_j = _device_arrays(ref, sidx)
+    occ_cap = _occ_cap(sidx, acfg)
 
     # ---- bucket reads by length ---------------------------------------
     buckets: dict[int, list[int]] = {}
@@ -257,7 +275,7 @@ def _seed_rows(seqs: list[str], ref: Reference, sidx: SeedIndex,
     for L, idxs in sorted(buckets.items()):
         S = max(1, (L - k) // acfg.seed_stride + 1)
         step = max(1, min(config.batch.batch_size,
-                          (1 << 23) // max(S * acfg.max_kmer_occ, 1)))
+                          (1 << 23) // max(S * occ_cap, 1)))
         for off in range(0, len(idxs), step):
             part = idxs[off:off + step]
             fwd = [encode(seqs[i]) for i in part]
@@ -276,7 +294,7 @@ def _seed_rows(seqs: list[str], ref: Reference, sidx: SeedIndex,
                 jnp.asarray(arr), jnp.asarray(lens), counts_j, pos_j,
                 k=k, stride=acfg.seed_stride,
                 occ_drop=1000, band_w=acfg.band_width // 2,
-                max_cand=acfg.max_candidates, S=S, C=acfg.max_kmer_occ)
+                max_cand=acfg.max_candidates, S=S, C=occ_cap)
             # pack to ONE device array -> one host fetch per batch
             packed = jnp.stack([res[kk].astype(jnp.int32) for kk in _KEYS])
             seed_pending.append((part, step, len(part), packed))

@@ -400,7 +400,10 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
     active = np.nonzero(bounds[1:] > bounds[:-1])[0]
     pos = {int(q): (int(bounds[q]), 0) for q in active}
     pending = list(pos.keys())
-    W = 64
+    # every round costs a device sync over the high-latency TPU link, so
+    # the speculative window starts wide and grows 4x (over-speculated
+    # Jaccards are cheap batched device work; rounds are not)
+    W = 256
     while pending:
         requests: list[tuple[int, int]] = []
         nxt = []
@@ -414,7 +417,7 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
             break
         resolve(requests)
         pending = nxt
-        W = min(W * 2, 8192)
+        W = min(W * 4, 16384)
 
     # ---- 4. emit pass in exact traversal order -------------------------
     match = set()

@@ -48,11 +48,17 @@ from fslr_tpu.panel import PrimerPanel
 ORIENT_COMBOS = (('F', 'R'), ('R', 'F'), ('F', 'F'), ('R', 'R'))
 
 
-def _side_alignments(records, targets, window, scoring, side: str,
-                     backend=None):
-    """SW of every (primer target, orientation) against one window side of
-    every read.  Returns dict arrays keyed like sw_locate, with shape
-    (n_reads, n_targets)."""
+_SW_KEYS = ('score', 'target_begin', 'target_end')
+_SW_CHUNK = 8192
+
+
+def _dispatch_side(records, targets, window, scoring, side: str,
+                   backend=None):
+    """Dispatch SW of every (primer target, orientation) against one window
+    side of every read, in fixed-shape chunks (a single n*m-row call
+    compiled a fresh kernel per dataset size).  Returns (device chunks,
+    n, m); fetch with _fetch_sides."""
+    import jax.numpy as jnp
     n = len(records)
     m = len(targets)
     NW = n * m
@@ -71,8 +77,51 @@ def _side_alignments(records, targets, window, scoring, side: str,
             tlens[r] = len(w)
             q[r, :len(tc)] = tc
             qlens[r] = len(tc)
-    res = ssw.sw_locate(q, t, qlens, tlens, scoring, backend=backend)
-    return {k: np.asarray(v).reshape(n, m) for k, v in res.items()}
+    outs = []
+    off = 0
+    while off < NW:
+        rows = _SW_CHUNK
+        if NW - off < _SW_CHUNK:        # tail: pow2-padded row count
+            rows = 8
+            while rows < NW - off:
+                rows *= 2
+        sl = slice(off, off + rows)     # numpy slices clamp; re-pad below
+        qc, tc_, qlc, tlc = q[sl], t[sl], qlens[sl], tlens[sl]
+        if len(qc) < rows:
+            pad = rows - len(qc)
+            qc = np.pad(qc, ((0, pad), (0, 0)), constant_values=4)
+            tc_ = np.pad(tc_, ((0, pad), (0, 0)), constant_values=4)
+            qlc = np.pad(qlc, (0, pad))
+            tlc = np.pad(tlc, (0, pad))
+        res = ssw.sw_locate(qc, tc_, qlc, tlc, scoring, backend=backend)
+        outs.append(jnp.stack([res[k].astype(jnp.float32)
+                               for k in _SW_KEYS]))
+        off += rows
+    return outs, n, m
+
+
+def _fetch_sides(dispatched):
+    """ONE device->host transfer for all dispatched side-chunks; returns a
+    list of dicts of (n, m) arrays keyed by _SW_KEYS."""
+    import jax.numpy as jnp
+    flats = [o.reshape(-1) for (outs, _, _) in dispatched for o in outs]
+    flat = np.asarray(jnp.concatenate(flats) if len(flats) > 1
+                      else flats[0])
+    res = []
+    off = 0
+    for outs, n, m in dispatched:
+        cols = {k: np.zeros(n * m, np.float32) for k in _SW_KEYS}
+        done = 0
+        for o in outs:
+            rows = int(o.shape[1])
+            block = flat[off:off + 3 * rows].reshape(3, rows)
+            off += 3 * rows
+            take = min(rows, n * m - done)
+            for ki, k in enumerate(_SW_KEYS):
+                cols[k][done:done + take] = block[ki, :take]
+            done += take
+        res.append({k: v.reshape(n, m) for k, v in cols.items()})
+    return res
 
 
 def label_and_chop(records: list[FastxRecord], panel: PrimerPanel,
@@ -97,10 +146,11 @@ def label_and_chop(records: list[FastxRecord], panel: PrimerPanel,
     if not records:
         return [], np.zeros(0, bool), counters
 
-    a1 = _side_alignments(records, tcodes, cfg.search_window, config.scoring,
-                          'start', backend)
-    a2 = _side_alignments(records, tcodes, cfg.search_window, config.scoring,
-                          'end', backend)
+    d1 = _dispatch_side(records, tcodes, cfg.search_window, config.scoring,
+                        'start', backend)
+    d2 = _dispatch_side(records, tcodes, cfg.search_window, config.scoring,
+                        'end', backend)
+    a1, a2 = _fetch_sides([d1, d2])
 
     # pair enumeration (deterministic; see module docstring)
     pair_defs = []      # (t1_idx, t2_idx, k1, k2, s1, s2)
