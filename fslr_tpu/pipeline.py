@@ -124,6 +124,28 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
                 args=(config.reference_mask, masked_ref_path, config.ref))
             mask_thread.start()
 
+        # Load the seed index and start its device upload in the
+        # background: the ~tens-of-MB genome/index transfer otherwise
+        # lands inside the align stage's first fetch (the reference
+        # overlaps its masked-ref build with filtering the same way,
+        # main.py:78-82).
+        idx_box: dict = {}
+
+        def _load_and_upload():
+            r, s = _load_indexed(config.ref, config.align.seed_k)
+            try:
+                if s.shards:
+                    for sh in s.shards:
+                        align_stage._device_arrays(sh.ref, sh.sidx)
+                else:
+                    align_stage._device_arrays(r, s)
+            except Exception:
+                pass        # upload is a prefetch; align re-issues it
+            idx_box['ref'], idx_box['sidx'] = r, s
+
+        idx_thread = threading.Thread(target=_load_and_upload, daemon=True)
+        idx_thread.start()
+
         print('Filtering reads: ', config.basecalled, file=sys.stderr)
         fs = glob_input_files(config.basecalled)
         print('Input files:', fs, file=sys.stderr)
@@ -154,7 +176,8 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
 
         # ---- alignment + selection ------------------------------------
         with timer.stage('load_index'):
-            ref, sidx = _load_indexed(config.ref, config.align.seed_k)
+            idx_thread.join()
+            ref, sidx = idx_box['ref'], idx_box['sidx']
         masked = None
         if config.reference_mask:
             mask_thread.join()
