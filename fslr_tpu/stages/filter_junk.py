@@ -210,7 +210,8 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
     concat = np.zeros(n, dtype=bool)
     if win_rows:
         wlen = max(e - s for (_, s, e, _) in win_rows)
-        WT = bucket_length(wlen, (512, 1024, 2048, 4096,
+        WT = bucket_length(wlen, (512, 1024, 1536, 2048, 3072, 4096,
+                                  6144, 8192,
                                   cfg.chunk_size + 2 * overlap + 64))
         enc_cache: dict[int, np.ndarray] = {}
         CHUNK = 8192     # fixed-shape chunks: stable compiled shapes
