@@ -152,9 +152,14 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
         for pth in fs:
             if os.path.getsize(pth) == 0:
                 raise ValueError(f"The file '{pth}' is empty.")
+        handoff: dict[str, list] = {}
         for pth in fs:
             with timer.stage('filter_junk'):
-                c = filter_junk.run_file(pth, panel, config, backend)
+                box: dict = {}
+                c = filter_junk.run_file(pth, panel, config, backend,
+                                         out_box=box)
+            if 'path' in box:
+                handoff[box['path']] = box['records']
             _merge_existing(filter_counts, c)
 
         for pth in glob.glob(f'{config.out}/*filtered_junk.fq'):
@@ -162,7 +167,8 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
                 print(f"WARNING: The file '{pth}' is empty.",
                       file=sys.stderr)
             with timer.stage('find_primers'):
-                c = find_primers.run_file(pth, panel, config, backend)
+                c = find_primers.run_file(pth, panel, config, backend,
+                                          records=handoff.get(pth))
             _merge_all(filter_counts, c)
 
         print('Filter counts: ', filter_counts, file=sys.stderr)

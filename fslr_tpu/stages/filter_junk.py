@@ -265,11 +265,14 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
 
 
 def run_file(path: str, panel: PrimerPanel, config: PipelineConfig,
-             backend: str | None = None) -> dict:
+             backend: str | None = None, out_box: dict | None = None) -> dict:
     """Process one input file; returns counters.  Writes
     ``{out}/{name}.{uuid}.filtered_junk.fq`` (+ ``.junk.fq`` if keep_temp),
     mirroring the reference worker's file contract
-    (filter_junk_from_fq.py:213-216)."""
+    (filter_junk_from_fq.py:213-216).  When ``out_box`` is given it
+    receives {'path': out_path, 'records': kept masked records} so the
+    primer stage can skip re-parsing the intermediate file (the file is
+    still written — it is the resume/inspection contract)."""
     records = list(read_fastx(path))
     keep, masks, junk, short, concat, counters = filter_junk_records(
         records, panel, config, backend)
@@ -277,6 +280,7 @@ def run_file(path: str, panel: PrimerPanel, config: PipelineConfig,
     out_path = os.path.join(config.out,
                             f'{config.name}.{temp_name}.filtered_junk.fq')
     junk_path = os.path.join(config.out, f'{config.name}.{temp_name}.junk.fq')
+    kept_records = []
     with open(out_path, 'w') as out, open(junk_path, 'w') as junkf:
         for i, rec in enumerate(records):
             seq = _mask_to_fasta_seq(rec.sequence, masks[i])
@@ -292,8 +296,13 @@ def run_file(path: str, panel: PrimerPanel, config: PipelineConfig,
                              comment=rec.comment)
             if keep[i]:
                 out.write(str(fa) + '\n')
+                if out_box is not None:
+                    kept_records.append(fa)
             elif config.keep_temp:
                 junkf.write(str(fa) + '\n')
+    if out_box is not None:
+        out_box['path'] = out_path
+        out_box['records'] = kept_records
     if not config.keep_temp:
         os.remove(junk_path)
     return dict(counters)

@@ -205,15 +205,19 @@ def label_and_chop(records: list[FastxRecord], panel: PrimerPanel,
 
 
 def run_file(path: str, panel: PrimerPanel, config: PipelineConfig,
-             backend: str | None = None) -> dict:
+             backend: str | None = None,
+             records: list[FastxRecord] | None = None) -> dict:
     """Process one ``.filtered_junk.fq`` file, writing
     ``{basename}.primers_labelled.fq`` and ``{basename}.no_primers.fq``
-    (reference find_reads_with_primers.py:99-113,120-133)."""
+    (reference find_reads_with_primers.py:99-113,120-133).  ``records``
+    short-circuits re-parsing when the caller already holds the file's
+    records (filter_junk.run_file out_box handoff)."""
     if 'filtered_junk' in path:
         basename = path.replace('.filtered_junk.fq', '')
     else:
         basename = path.replace('.fa', '')
-    records = list(read_fastx(path))
+    if records is None:
+        records = list(read_fastx(path))
     out_records, has_primer, counters = label_and_chop(
         records, panel, config, backend)
     with open(f'{basename}.primers_labelled.fq', 'w') as out, \
