@@ -124,6 +124,11 @@ class ClusterConfig:
     filter_high_coverage: bool = False
     filter_false: bool = False
     max_intervals_per_read: int = 32   # fixed-shape cap for the Jaccard kernel
+    # gated pair sets up to this size batch ALL first-encounter Jaccards in
+    # one device pass; larger sets use speculative walk rounds — on cliquey
+    # data the superset is up to ~10x the edge-capped walked set, so
+    # one-shot only wins while the round-sync overhead dominates compute
+    max_oneshot_pairs: int = 200_000
 
 
 @dataclasses.dataclass(frozen=True)

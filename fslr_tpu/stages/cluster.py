@@ -397,6 +397,13 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
                 overlap_cutoff)
 
     # ---- 3. round loop: walk all queries, batch unknown pairs ---------
+    # One-shot fast path: for pair sets that fit comfortably on device,
+    # resolving the full first-encounter superset in ONE batch beats the
+    # speculative rounds — the superset is typically 2-10x the walked set
+    # (cheap, fully batched) while every round costs a device sync over
+    # the high-latency link.
+    if 0 < len(eq) <= cfg.max_oneshot_pairs:
+        resolve(np.stack([eq, eo], axis=1))
     active = np.nonzero(bounds[1:] > bounds[:-1])[0]
     pos = {int(q): (int(bounds[q]), 0) for q in active}
     pending = list(pos.keys())
