@@ -262,7 +262,17 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
     SLICE_CAP = ENCOUNTER_SLICE_CAP
     red_pk, red_tv = [], []
 
+    tv_span = trav_scale * R + 1        # tv < trav_scale * R
+
     def _reduce(pk, tv):
+        if R * R < (1 << 62) // tv_span:
+            # fused single-key sort: with tv in the low bits, the first
+            # element of each pk group IS the group minimum — np.sort
+            # beats argsort + two fancy-index gathers ~2x at 10M+ keys
+            fused = np.sort(pk * tv_span + tv)
+            pk_s = fused // tv_span
+            grp = np.concatenate([[0], np.nonzero(np.diff(pk_s))[0] + 1])
+            return pk_s[grp], fused[grp] % tv_span
         ord1 = np.argsort(pk)
         pk_s = pk[ord1]
         tv_s = tv[ord1]
