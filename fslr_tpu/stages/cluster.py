@@ -348,34 +348,39 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         chrom_a, start_a, end_a, size_a, valid_a, np.minimum(lens_a, M))
     over = np.nonzero(lens_a > M)[0]
     over_set = set(over.tolist())
-    jmap: dict[tuple[int, int], tuple[float, int]] = {}
+    # per-ENTRY value arrays: the walk only ever looks up entry i's own
+    # (eq[i], eo[i]) pair, so values index by entry position — a tuple-key
+    # dict here cost ~seconds of build + lookup at millions of pairs
+    E = len(eq)
+    val_j = np.zeros(E, np.float64)
+    val_n = np.zeros(E, np.int64)
+    known = np.zeros(E, bool)
+    requested = np.zeros(E, bool)
     cutoffs = list(jaccard_cutoffs)
     n_cut = len(cutoffs)
 
     def walk(q, start_i, edge_count, emit=None, request=None, W=0):
         """Resume query q's traversal at entry start_i.  Returns
-        (finished, i, edge_count); appends unknown (qa, qb) keys to
+        (finished, i, edge_count); appends unknown entry indices to
         ``request`` (speculative W-window) when stalled."""
         lo_b, hi_b = int(bounds[q]), int(bounds[q + 1])
         i = start_i
         while i < hi_b:
-            other = int(eo[i])
-            val = jmap.get((q, other))
-            if val is None:
+            if not known[i]:
                 if request is not None:
                     end = min(i + W, hi_b)
                     for t in range(i, end):
-                        k2 = (q, int(eo[t]))
-                        if k2 not in jmap:
-                            request.append(k2)
+                        if not known[t] and not requested[t]:
+                            requested[t] = True
+                            request.append(t)
                 return False, i, edge_count
-            j, n_i = val
+            n_i = val_n[i]
             if n_i != 0:
                 target = cutoffs[n_i - 1] if n_i - 1 < n_cut else cutoffs[-1]
-                if j >= target:
+                if val_j[i] >= target:
                     edge_count += 1
                     if emit is not None:
-                        emit(q, other, j)
+                        emit(q, int(eo[i]), val_j[i])
                 if edge_count >= edge_threshold:
                     # break = skip the rest of this interval's neighbors
                     cur = ei[i]
@@ -387,24 +392,30 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         return True, i, edge_count
 
     def resolve(requests):
-        """Batch-compute greedy Jaccard for (qa, qb) ordered pairs; the
-        querying read is the l1 role (greedy matching is role-dependent)."""
-        req = np.array(requests, np.int64)
+        """Batch-compute greedy Jaccard for the entry indices in
+        ``requests``; the querying read eq[t] is the l1 role (greedy
+        matching is role-dependent)."""
+        idx = np.asarray(requests, np.int64)
+        qa_all, qb_all = eq[idx], eo[idx]
         if over_set:
-            host = np.isin(req[:, 0], over) | np.isin(req[:, 1], over)
+            host = np.isin(qa_all, over) | np.isin(qb_all, over)
         else:
-            host = np.zeros(len(req), bool)
-        dev = req[~host]
+            host = np.zeros(len(idx), bool)
+        dev = idx[~host]
         if len(dev):
+            pairs = np.stack([eq[dev], eo[dev]], axis=1).astype(np.int32)
             j_arr, n_arr = jaccard.jaccard_pairs_indexed(
-                dev.astype(np.int32), *dev_arrays, overlap_cutoff, M=M)
-            jmap.update(zip(zip(dev[:, 0].tolist(), dev[:, 1].tolist()),
-                            zip(j_arr.tolist(), n_arr.tolist())))
-        for qa, qb in req[host]:
-            jmap[(int(qa), int(qb))] = jaccard.jaccard_host(
+                pairs, *dev_arrays, overlap_cutoff, M=M)
+            val_j[dev] = j_arr
+            val_n[dev] = n_arr
+            known[dev] = True
+        for t in idx[host]:
+            qa, qb = int(eq[t]), int(eo[t])
+            val_j[t], val_n[t] = jaccard.jaccard_host(
                 as_tuples(query_intervals[qnames_order[qa]]),
                 as_tuples(query_intervals[qnames_order[qb]]),
                 overlap_cutoff)
+            known[t] = True
 
     # ---- 3. round loop: walk all queries, batch unknown pairs ---------
     # One-shot fast path: for pair sets that fit comfortably on device,
@@ -413,7 +424,7 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
     # (cheap, fully batched) while every round costs a device sync over
     # the high-latency link.
     if 0 < len(eq) <= cfg.max_oneshot_pairs:
-        resolve(np.stack([eq, eo], axis=1))
+        resolve(np.arange(len(eq)))
     active = np.nonzero(bounds[1:] > bounds[:-1])[0]
     pos = {int(q): (int(bounds[q]), 0) for q in active}
     pending = list(pos.keys())
@@ -422,7 +433,7 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
     # Jaccards are cheap batched device work; rounds are not)
     W = 256
     while pending:
-        requests: list[tuple[int, int]] = []
+        requests: list[int] = []        # entry indices
         nxt = []
         for q in pending:
             i, ec = pos[q]
