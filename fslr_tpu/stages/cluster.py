@@ -428,6 +428,12 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
     active = np.nonzero(bounds[1:] > bounds[:-1])[0]
     pos = {int(q): (int(bounds[q]), 0) for q in active}
     pending = list(pos.keys())
+    # Per-query emission buffers: a query's walk emits the same sequence
+    # regardless of round interleaving (it depends only on its own entries'
+    # values), so emissions are recorded during the round-loop walk and
+    # concatenated in traversal order afterwards — the reference-order
+    # replay pass costs nothing extra.
+    embuf: dict[int, list] = {int(q): [] for q in active}
     # every round costs a device sync over the high-latency TPU link, so
     # the speculative window starts wide and grows 4x (over-speculated
     # Jaccards are cheap batched device work; rounds are not)
@@ -437,7 +443,10 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         nxt = []
         for q in pending:
             i, ec = pos[q]
-            fin, i, ec = walk(q, i, ec, request=requests, W=W)
+            buf = embuf[q]
+            fin, i, ec = walk(q, i, ec,
+                              emit=lambda qa, qb, j, b=buf: b.append((qb, j)),
+                              request=requests, W=W)
             pos[q] = (i, ec)
             if not fin:
                 nxt.append(q)
@@ -447,7 +456,7 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         pending = nxt
         W = min(W * 4, 16384)
 
-    # ---- 4. emit pass in exact traversal order -------------------------
+    # ---- 4. emit in exact traversal order ------------------------------
     match = set()
     edges = []
     node_pos = {}
@@ -464,7 +473,8 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         edges.append((name_a, name_b))
 
     for q in active:
-        walk(int(q), int(bounds[q]), 0, emit=emit)
+        for qb, j in embuf[int(q)]:
+            emit(int(q), qb, j)
 
     match_df = pd.DataFrame(
         match, columns=['query1', 'query2', 'jaccard_similarity'])
