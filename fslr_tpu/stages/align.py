@@ -535,14 +535,16 @@ def _select_and_finalize(all_aln: list[dict], ref: Reference,
                                   for a in sel], bool),
         cigars=[a.get('cigar') for a in sel],
     )
-    for r in reads:
-        mask = out.read_idx == r
-        if not mask.any():
-            continue
-        scores = out.score[mask]
-        pri_local = int(np.argmax(scores))
-        idxs = np.nonzero(mask)[0]
-        out.is_primary[idxs[pri_local]] = True
+    # primary = first max-score alignment per read (argmax tie semantics):
+    # stable grouped sort instead of a per-read boolean mask (that scan is
+    # O(reads x selected) — quadratic at 10k+ reads)
+    n_sel = len(out)
+    if n_sel:
+        ordr = np.lexsort((np.arange(n_sel), -out.score, out.read_idx))
+        rid_s = out.read_idx[ordr]
+        first = np.ones(n_sel, bool)
+        first[1:] = rid_s[1:] != rid_s[:-1]
+        out.is_primary[ordr[first]] = True
     # mapq: bwa-mem-style single-end model (see module docstring)
     unsel_by_read: dict[int, list[dict]] = {}
     for ai, a in enumerate(all_aln):
