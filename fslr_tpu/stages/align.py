@@ -545,35 +545,61 @@ def _select_and_finalize(all_aln: list[dict], ref: Reference,
         first = np.ones(n_sel, bool)
         first[1:] = rid_s[1:] != rid_s[:-1]
         out.is_primary[ordr[first]] = True
-    # mapq: bwa-mem-style single-end model (see module docstring)
-    unsel_by_read: dict[int, list[dict]] = {}
-    for ai, a in enumerate(all_aln):
-        so = slot_of[ai]
-        if so is None or not chosen[so[0]][so[1]]:
-            unsel_by_read.setdefault(a['read_idx'], []).append(a)
+    # mapq: bwa-mem-style single-end model (see module docstring),
+    # vectorized — per-selected Python scans of the read's unselected
+    # candidates cost ~1 s at 10k reads
     match_a = acfg.scoring.match
     mismatch_b = abs(acfg.scoring.mismatch)   # bwa's b is a penalty (+3)
     sub_floor = acfg.seed_k * match_a
-    for i in range(len(out)):
-        r = int(out.read_idx[i])
-        fs, fe = _fwd_span(out, i)
-        span = fe - fs
-        s2 = 0
-        sub_n = 0
-        for a in unsel_by_read.get(r, []):
-            if a['strand_rev']:
-                afs, afe = a['qlen'] - a['qend_o'], a['qlen'] - a['qstart_o']
-            else:
-                afs, afe = a['qstart_o'], a['qend_o']
-            ov = min(fe, afe) - max(fs, afs)
-            if ov > 0.5 * span:
-                if a['score'] > s2:
-                    s2 = a['score']
-                sub_n += 1
-        out.mapq[i] = _bwa_style_mapq(
-            int(out.score[i]), s2, span,
-            int(out.rend[i]) - int(out.rstart[i]) + 1,
-            match_a, mismatch_b, sub_floor, sub_n)
+    if n_sel:
+        uns = [a for ai, a in enumerate(all_aln)
+               if slot_of[ai] is None
+               or not chosen[slot_of[ai][0]][slot_of[ai][1]]]
+        fs_sel = np.where(out.strand_rev, out.qlen - out.qend_o,
+                          out.qstart_o).astype(np.int64)
+        fe_sel = np.where(out.strand_rev, out.qlen - out.qstart_o,
+                          out.qend_o).astype(np.int64)
+        span = fe_sel - fs_sel
+        s2 = np.zeros(n_sel, np.int64)
+        sub_n = np.zeros(n_sel, np.int64)
+        if uns:
+            u_read = np.array([a['read_idx'] for a in uns], np.int64)
+            u_fs = np.array([a['qlen'] - a['qend_o'] if a['strand_rev']
+                             else a['qstart_o'] for a in uns], np.int64)
+            u_fe = np.array([a['qlen'] - a['qstart_o'] if a['strand_rev']
+                             else a['qend_o'] for a in uns], np.int64)
+            u_sc = np.array([a['score'] for a in uns], np.int64)
+            uo = np.argsort(u_read, kind='stable')
+            u_read, u_fs, u_fe, u_sc = (u_read[uo], u_fs[uo], u_fe[uo],
+                                        u_sc[uo])
+            lo = np.searchsorted(u_read, out.read_idx)
+            hi = np.searchsorted(u_read, out.read_idx, side='right')
+            counts = hi - lo
+            total = int(counts.sum())
+            if total:
+                sel_rep = np.repeat(np.arange(n_sel), counts)
+                offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+                u_idx = (np.arange(total)
+                         - np.repeat(offs - lo, counts))
+                ov = (np.minimum(fe_sel[sel_rep], u_fe[u_idx])
+                      - np.maximum(fs_sel[sel_rep], u_fs[u_idx]))
+                ok = ov > 0.5 * span[sel_rep]
+                np.maximum.at(s2, sel_rep[ok], u_sc[u_idx[ok]])
+                sub_n = np.bincount(sel_rep[ok], minlength=n_sel)
+        s1 = out.score.astype(np.float64)
+        sub = np.maximum(s2, sub_floor).astype(np.float64)
+        l = np.maximum(np.maximum(
+            span, (out.rend - out.rstart + 1).astype(np.int64)), 1)
+        identity = 1.0 - (l * match_a - s1) / ((match_a + mismatch_b) * l)
+        tmp = np.where(l < _MAPQ_COEF_LEN, 1.0,
+                       _MAPQ_COEF_FAC / np.log(l))
+        tmp = tmp * identity * identity
+        mq = (6.02 * (s1 - sub) / match_a * tmp * tmp + 0.499)
+        mq = mq.astype(np.int64)
+        pen = (4.343 * np.log(sub_n + 1) + 0.499).astype(np.int64)
+        mq = np.where(sub_n > 0, mq - pen, mq)
+        mq = np.where((s1 <= 0) | (sub >= s1), 0, mq)
+        out.mapq[:] = np.clip(mq, 0, 60)
     return out
 
 
