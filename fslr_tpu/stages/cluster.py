@@ -279,6 +279,8 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         grp = np.concatenate([[0], np.nonzero(np.diff(pk_s))[0] + 1])
         return pk_s[grp], np.minimum.reduceat(tv_s, grp)
 
+    slice_jobs = []     # (rid_arr, irk_arr, starts, ends, lo, counts,
+                        #  ccum, s0, s1, idt)
     for chrom, (starts, ends, pmax, items) in index.arrays.items():
         nc = len(items)
         rid_arr = np.fromiter((qid[i.qname] for i in items), np.int64, nc)
@@ -299,28 +301,41 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
             cuts.append(min(max(nxt, cuts[-1] + 1), nc))
         idt = np.int32 if total < 2**31 and nc < 2**31 else np.int64
         for s0, s1 in zip(cuts[:-1], cuts[1:]):
-            cnt_s = counts[s0:s1]
-            tot_s = int(cnt_s.sum())
-            if tot_s == 0:
-                continue
-            qx = np.repeat(np.arange(s0, s1, dtype=idt), cnt_s)
-            offs = ccum[s0:s1] - ccum[s0]
-            nx = (np.arange(tot_s, dtype=idt)
-                  - np.repeat((offs - lo[s0:s1]).astype(idt), cnt_s))
-            keep = ends[nx] >= starts[qx]
-            qx, nx = qx[keep], nx[keep]
-            a, b = rid_arr[qx], rid_arr[nx]
-            ok = a != b
-            a, b, qx, nx = a[ok], b[ok], qx[ok], nx[ok]
-            if not len(a):
-                continue
-            pk = np.minimum(a, b) * R + np.maximum(a, b)
-            # traversal key: query first-seen order, interval rank, then
-            # ascending-start neighbor sequence (nx)
-            tv = (a * max_itv + irk_arr[qx]) * max_nc + nx
-            rpk, rtv = _reduce(pk, tv)
-            red_pk.append(rpk)
-            red_tv.append(rtv)
+            slice_jobs.append((rid_arr, irk_arr, starts, ends, lo, counts,
+                               ccum, s0, s1, idt))
+
+    def _run_slice(job):
+        (rid_arr, irk_arr, starts, ends, lo, counts, ccum, s0, s1,
+         idt) = job
+        cnt_s = counts[s0:s1]
+        tot_s = int(cnt_s.sum())
+        if tot_s == 0:
+            return None
+        qx = np.repeat(np.arange(s0, s1, dtype=idt), cnt_s)
+        offs = ccum[s0:s1] - ccum[s0]
+        nx = (np.arange(tot_s, dtype=idt)
+              - np.repeat((offs - lo[s0:s1]).astype(idt), cnt_s))
+        keep = ends[nx] >= starts[qx]
+        qx, nx = qx[keep], nx[keep]
+        a, b = rid_arr[qx], rid_arr[nx]
+        ok = a != b
+        a, b, qx, nx = a[ok], b[ok], qx[ok], nx[ok]
+        if not len(a):
+            return None
+        pk = np.minimum(a, b) * R + np.maximum(a, b)
+        # traversal key: query first-seen order, interval rank, then
+        # ascending-start neighbor sequence (nx)
+        tv = (a * max_itv + irk_arr[qx]) * max_nc + nx
+        return _reduce(pk, tv)
+
+    # slices run sequentially: this image has 2 host cores, so a thread
+    # pool over the GIL-releasing numpy work only adds cache contention
+    # (measured 1.8x SLOWER at 2e9 encounters)
+    for job in slice_jobs:
+        rr = _run_slice(job)
+        if rr is not None:
+            red_pk.append(rr[0])
+            red_tv.append(rr[1])
     if red_pk:
         pair_pk, pair_tv = _reduce(np.concatenate(red_pk),
                                    np.concatenate(red_tv))
