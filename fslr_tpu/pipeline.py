@@ -44,8 +44,9 @@ def _load_indexed(path: str, k: int):
     ref = refmod.load_reference(path)
     cache = f'{path}.fslr_k{k}.npz'
     try:
-        if os.path.exists(cache) and os.path.getmtime(cache) >= \
-                os.path.getmtime(path):
+        cache_fresh = os.path.exists(cache) and os.path.getmtime(cache) >= \
+            os.path.getmtime(path)
+        if cache_fresh:
             z = np.load(cache)
             if 'shard_bounds' in z:
                 shards = []
@@ -63,8 +64,12 @@ def _load_indexed(path: str, k: int):
                 sidx = refmod.SeedIndex(k=k, counts=z['counts'],
                                         positions=z['positions'])
             return ref, sidx
-    except Exception:
-        pass
+    except Exception as e:
+        # A corrupt/unreadable index cache silently rebuilding can mask
+        # real bugs (truncated write, version skew) — be loud about it.
+        print(f'WARNING: seed-index cache {cache} unreadable '
+              f'({type(e).__name__}: {e}); rebuilding from {path}',
+              file=sys.stderr)
     sidx = refmod.build_seed_index(ref, k)
     try:
         if sidx.shards:
@@ -77,8 +82,10 @@ def _load_indexed(path: str, k: int):
             np.savez(cache, **arrs)
         else:
             np.savez(cache, counts=sidx.counts, positions=sidx.positions)
-    except Exception:
-        pass
+    except Exception as e:
+        print(f'WARNING: could not write seed-index cache {cache} '
+              f'({type(e).__name__}: {e}); next run will rebuild',
+              file=sys.stderr)
     return ref, sidx
 
 
@@ -139,8 +146,11 @@ def run_pipeline(config: PipelineConfig, backend: str | None = None):
                         align_stage._device_arrays(sh.ref, sh.sidx)
                 else:
                     align_stage._device_arrays(r, s)
-            except Exception:
-                pass        # upload is a prefetch; align re-issues it
+            except Exception as e:
+                # prefetch only — align re-issues the upload; still log it
+                print(f'WARNING: device index prefetch failed '
+                      f'({type(e).__name__}: {e}); align will re-upload',
+                      file=sys.stderr)
             idx_box['ref'], idx_box['sidx'] = r, s
 
         idx_thread = threading.Thread(target=_load_and_upload, daemon=True)

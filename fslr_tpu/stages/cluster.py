@@ -520,15 +520,17 @@ def get_subgraphs(edges, node_pos):
 
 
 def choose_alignment(bed_file):
-    qname_grouped = bed_file.groupby('qname')
-    avg_scores = qname_grouped['alignment_score'].mean()
-    bed_file = bed_file.copy()
-    bed_file['avg_alignment_score'] = bed_file['qname'].map(avg_scores)
-    selected_reads = []
-    for cluster_id, group in bed_file.groupby('cluster'):
-        selected_reads.append(
-            group.loc[group['avg_alignment_score'].idxmax()]['qname'])
-    return bed_file[bed_file['qname'].isin(selected_reads)]
+    """Representative reads: per cluster, keep every row of the read whose
+    alignments have the highest mean alignment_score; ties resolve to the
+    earliest row (pandas idxmax), matching the reference's per-cluster scan
+    (/root/reference/fslr/cluster.py:237-254).  Vectorized: transform-mean
+    plus one grouped idxmax instead of a Python loop over clusters."""
+    bed = bed_file.copy()
+    bed['avg_alignment_score'] = (
+        bed.groupby('qname')['alignment_score'].transform('mean'))
+    winner_rows = bed.groupby('cluster')['avg_alignment_score'].idxmax()
+    winners = set(bed.loc[winner_rows, 'qname'])
+    return bed[bed['qname'].isin(winners)]
 
 
 @dataclasses.dataclass

@@ -35,9 +35,40 @@ from fslr_tpu.stages import (align as align_stage, filter_junk,
                              find_primers, mapping_table)
 
 
+def _read_primer_names(qname: str) -> set[str]:
+    """Primer names (orientation stripped) from the read-name contract
+    ``{orig}.{s1}_{s2}.{lab1}_{lab2}`` (find_reads_with_primers.py:109-113;
+    parsed downstream as qname.split('.')[-1].split('_'),
+    collect_mapping_info.py:113-114)."""
+    out = set()
+    for lab in qname.split('.')[-1].split('_'):
+        if lab and lab != 'False':
+            out.add(lab[:-1] if lab[-1] in 'FR' else lab)
+    return out
+
+
+def write_purity_csv(subgraphs, cons_seqs, primer_names, path: str):
+    """``.cluster.purity.csv``: per cluster, its id, read count, consensus
+    sequence, and the proportion of member reads carrying each panel primer
+    (README.rst:137 — the stage is commented out in the reference release,
+    so the column layout is this engine's; the documented fields are all
+    present)."""
+    rows = []
+    for num, (clust, seq) in enumerate(zip(subgraphs, cons_seqs)):
+        row = {'cluster': num, 'n_reads': len(clust), 'consensus': seq}
+        members = list(clust)
+        for p in primer_names:
+            n_with = sum(1 for q in members if p in _read_primer_names(q))
+            row[f'{p}_proportion'] = (n_with / len(members)) if members \
+                else 0.0
+        rows.append(row)
+    pd.DataFrame(rows).to_csv(path, index=False)
+
+
 def make_consensus_seq(subgraphs, out: str, name: str,
                        bed_file: pd.DataFrame, config: PipelineConfig,
-                       backend: str | None = None) -> str:
+                       backend: str | None = None,
+                       primer_names: tuple[str, ...] = ()) -> str:
     """Write per-cluster FASTAs + consensus FASTA; returns consensus path."""
     cons_dir = os.path.join(out, 'cluster', 'consensus_seq')
     os.makedirs(cons_dir, exist_ok=True)
@@ -67,6 +98,9 @@ def make_consensus_seq(subgraphs, out: str, name: str,
                 cf.write(f'>cluster:{num}.n_reads:{n_reads}\n{seq}\n')
             if seq:
                 fh.write(f'>cluster:{num}.n_reads:{n_reads}\n{seq}\n')
+    write_purity_csv(subgraphs, cons_seqs, primer_names,
+                     os.path.join(out, 'cluster',
+                                  f'{name}.cluster.purity.csv'))
     return cat_path
 
 
@@ -97,7 +131,7 @@ def run_consensus_stage(subgraphs, bed_file: pd.DataFrame, ref, sidx,
     os.makedirs(cluster_out, exist_ok=True)
 
     cat_path = make_consensus_seq(subgraphs, out, name, bed_file, config,
-                                  backend)
+                                  backend, primer_names=tuple(panel.names))
 
     # re-run the filtering front-end on the consensus FASTA
     ccfg = config.replace(out=cluster_out)

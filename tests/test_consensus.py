@@ -46,6 +46,43 @@ def test_consensus_recovers_original():
     assert float(score[0]) > float(mscore[0])
 
 
+def _identity_to(original: np.ndarray, seq: str) -> float:
+    """Banded-SW score of ``seq`` against ``original``, as a fraction of
+    the perfect-match score."""
+    L = len(original)
+    q = np.full((1, 512), 4, np.uint8)
+    q[0, :L] = original
+    cc = encode(seq)
+    w = np.full((1, 512 + 256), 4, np.uint8)
+    w[0, 64:64 + min(len(cc), 512 + 192)] = cc[:512 + 192]
+    score, _, _ = banded.banded_sw(
+        q, w, np.array([L], np.int32),
+        ScoringConfig(gap_open_is_first_base=False), backend='jax')
+    return float(score[0]) / (2.0 * L)
+
+
+def test_noisy_cluster_poa_beats_pileup_and_backbone():
+    """VERDICT round-1 item 8: at nanopore-like noise (10% sub / 5% indel)
+    the POA consensus must recover the original better than both the
+    single-round pileup engine and the raw backbone read."""
+    rng = np.random.default_rng(7)
+    original = random_seq(rng, 450)
+    members = [decode(mutate(rng, original, sub=0.10, indel=0.05))
+               for _ in range(11)]
+    poa_cons = poa.consensus_sequences(
+        [members], ConsensusConfig(engine='poa'), backend='jax')[0]
+    pile_cons = poa.consensus_sequences(
+        [members], ConsensusConfig(engine='pileup'), backend='jax')[0]
+    id_poa = _identity_to(original, poa_cons)
+    id_pile = _identity_to(original, pile_cons)
+    id_backbone = max(_identity_to(original, m) for m in members[:3])
+    assert id_poa > id_pile, (id_poa, id_pile)
+    assert id_poa > id_backbone, (id_poa, id_backbone)
+    # current profile-POA recovers ~0.79 identity here (pileup 0.60,
+    # best backbone 0.64); ratchet this floor if the engine improves
+    assert id_poa >= 0.75, id_poa
+
+
 def test_multiple_clusters_batched():
     rng = np.random.default_rng(2)
     clusters = []

@@ -164,6 +164,18 @@ def test_pipeline_consensus_stage(workdir):
                 & (bed['seq'].astype(str).str.len() > 1)]['seq'].iloc[0]
     n4 = [c for c in cons if 'n_reads:4' in c.name][0]
     assert n4.sequence == g1seq
+    # purity CSV (README.rst:137): cluster id, n_reads, consensus, and the
+    # proportion of member reads carrying each panel primer
+    purity = pd.read_csv(os.path.join(out, 'cluster',
+                                      'C.cluster.purity.csv'))
+    assert list(purity.columns) == ['cluster', 'n_reads', 'consensus',
+                                    '21q1_proportion', '17p6_proportion']
+    assert len(purity) == 2
+    assert set(purity['n_reads']) == {4, 3}
+    # every clustered read here was labelled 21q1F_17p6R
+    assert (purity['21q1_proportion'] == 1.0).all()
+    assert (purity['17p6_proportion'] == 1.0).all()
+    assert (purity['consensus'].astype(str).str.len() > 100).all()
     # merged artifacts
     assert os.path.exists(base + '.bwa_dodi_merged.bam')
     merged = pd.read_csv(base + '.mappings_merged.bed', sep='\t')
