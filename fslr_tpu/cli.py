@@ -75,6 +75,12 @@ from fslr_tpu.config import ClusterConfig, PipelineConfig
               help="Consensus engine: 'poa' = profile-graph partial-order "
                    "consensus (abpoa-grade), 'pileup' = single-round "
                    'backbone vote (faster, less accurate on insertions)')
+@click.option('--mesh-devices', default=0, show_default=True, type=int,
+              help='Shard every batched stage kernel data-parallel over '
+                   'this many devices (0 = all available when >1, 1 = '
+                   'single-device). The reference parallelizes with '
+                   '--procs worker processes; here parallelism is a '
+                   'device mesh.')
 @click.version_option(fslr_tpu.__version__)
 def pipeline(**args):
     from fslr_tpu.pipeline import run_pipeline
@@ -109,7 +115,17 @@ def pipeline(**args):
             search_window=config.primer.search_window),
         align=config.align.__class__(
             **{**config.align.__dict__, 'bias': args['bias']}))
-    run_pipeline(config)
+    mesh = None
+    n_mesh = args['mesh_devices']
+    if n_mesh == 0 or n_mesh > 1:
+        import jax
+
+        from fslr_tpu.parallel.mesh import make_mesh
+        n_avail = len(jax.devices())
+        want = n_avail if n_mesh == 0 else min(n_mesh, n_avail)
+        if want > 1:
+            mesh = make_mesh(want)
+    run_pipeline(config, mesh=mesh)
 
 
 if __name__ == '__main__':

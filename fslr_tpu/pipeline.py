@@ -106,7 +106,19 @@ def _merge_all(dst: dict, src: dict):
         dst[k] += v
 
 
-def run_pipeline(config: PipelineConfig, backend: str | None = None):
+def run_pipeline(config: PipelineConfig, backend: str | None = None,
+                 mesh=None):
+    """Run the full pipeline.  ``mesh``: optional ``jax.sharding.Mesh`` —
+    when given, every batched stage kernel (filter, primer, seeding,
+    extension, selection) runs data-parallel over its devices and counters
+    reduce with psum (parallel/dispatch.py); artifacts are byte-identical
+    to a single-device run (tests/test_parallel.py)."""
+    from fslr_tpu.parallel import dispatch
+    with dispatch.use_mesh(mesh):
+        return _run_pipeline(config, backend)
+
+
+def _run_pipeline(config: PipelineConfig, backend: str | None = None):
     basename = os.path.join(config.out, config.name)
     print('Basename: ', basename, file=sys.stderr)
     timer = StageTimer()

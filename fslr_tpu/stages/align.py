@@ -40,6 +40,7 @@ from fslr_tpu.config import PipelineConfig
 from fslr_tpu.encode import bucket_length, encode, revcomp
 from fslr_tpu.index.reference import Reference, SeedIndex
 from fslr_tpu.ops import banded, seed, selection
+from fslr_tpu.parallel import dispatch
 
 
 @dataclasses.dataclass
@@ -74,14 +75,23 @@ def _pad128(n):
 def _device_arrays(ref: Reference, sidx: SeedIndex):
     """Device-resident genome + index, cached on the SeedIndex so repeated
     batches don't re-upload (the genome can be ~1 GB/shard and the TPU
-    link is high-latency)."""
-    cached = getattr(sidx, '_dev', None)
-    if cached is None:
+    link is high-latency).  Under an active mesh the tables are placed
+    replicated across every device up front (one transfer, not one per
+    sharded kernel call)."""
+    mesh = dispatch.active_mesh()
+    cached_mesh, cached = getattr(sidx, '_dev', (None, None))
+    if cached is None or cached_mesh is not mesh:
+        import jax
         import jax.numpy as jnp
-        cached = (jnp.asarray(ref.codes),
-                  jnp.asarray(sidx.counts.astype(np.int32)),
-                  jnp.asarray(sidx.positions.astype(np.int32)))
-        sidx._dev = cached
+        arrs = (ref.codes, sidx.counts.astype(np.int32),
+                sidx.positions.astype(np.int32))
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P())
+            cached = tuple(jax.device_put(a, sh) for a in arrs)
+        else:
+            cached = tuple(jnp.asarray(a) for a in arrs)
+        sidx._dev = (mesh, cached)
     return cached
 
 
@@ -235,6 +245,31 @@ def _chain_filter(cand_rows: list, seqs: list[str],
     return [cand_rows[ci] for ci in keep]
 
 
+def _seed_kernel(reads, lens, counts, positions, k, stride, occ_drop,
+                 band_w, max_cand, S, C):
+    """Positional adapter over ops/seed.seed_candidates for dp_call."""
+    return seed.seed_candidates(reads, lens, counts, positions, k=k,
+                                stride=stride, occ_drop=occ_drop,
+                                band_w=band_w, max_cand=max_cand, S=S, C=C)
+
+
+def _extend_kernel(q, qlens, ws, cmin, cmax, genome, scoring, backend):
+    """banded_extend adapter: its packed result is (6, N) — batch-minor —
+    so transpose to batch-major for the sharded dispatch; the call site
+    transposes back."""
+    from fslr_tpu.ops import traceback as tbmod
+    packed, emits = tbmod.banded_extend(q, qlens, ws, cmin, cmax, genome,
+                                        scoring, backend)
+    return packed.T, emits
+
+
+def _select_kernel(qs, qe, sc, vmask, bias, ol_cost, max_overlap,
+                   min_score):
+    return selection.select_alignments(
+        qs, qe, sc, vmask, ol_cost=ol_cost, max_overlap=max_overlap,
+        bias=bias, min_score=min_score)
+
+
 def _occ_cap(sidx: SeedIndex, acfg) -> int:
     """Data-adaptive per-seed occurrence cap: the seeding hit grid is
     (samples x cap), so a unique-k-mer reference (amplicon panels, small
@@ -290,11 +325,11 @@ def _seed_rows(seqs: list[str], ref: Reference, sidx: SeedIndex,
                 row = r if r < len(fwd) else step + (r - len(fwd))
                 arr[row, :len(c)] = c[:L]
                 lens[row] = min(len(c), L)
-            res = seed.seed_candidates(
-                jnp.asarray(arr), jnp.asarray(lens), counts_j, pos_j,
-                k=k, stride=acfg.seed_stride,
-                occ_drop=1000, band_w=acfg.band_width // 2,
-                max_cand=acfg.max_candidates, S=S, C=occ_cap)
+            res = dispatch.dp_call(
+                _seed_kernel, (jnp.asarray(arr), jnp.asarray(lens)),
+                (counts_j, pos_j),
+                statics=(k, acfg.seed_stride, 1000, acfg.band_width // 2,
+                         acfg.max_candidates, S, occ_cap))
             # pack to ONE device array -> one host fetch per batch
             packed = jnp.stack([res[kk].astype(jnp.int32) for kk in _KEYS])
             seed_pending.append((part, step, len(part), packed))
@@ -389,9 +424,10 @@ def _extend_rows(cand_rows: list, seqs: list[str], enc_fwd: dict,
                 ci_ref = min(max(ci_ref, 0), len(ref.names) - 1)
                 cmin[r] = contig_starts[ci_ref]
                 cmax[r] = contig_ends[ci_ref]
-            packed, emits = tbmod.banded_extend(
-                q, qlens, ws, cmin, cmax, genome_j, acfg.scoring, backend)
-            pending.append((chunk, ws, packed, emits))
+            packed_t, emits = dispatch.dp_call(
+                _extend_kernel, (q, qlens, ws, cmin, cmax), (genome_j,),
+                statics=(acfg.scoring, backend))
+            pending.append((chunk, ws, packed_t.T, emits))
 
     # Fetch ONLY the packed score columns here (6 int32/row); emit streams
     # stay device-resident — selection drops most candidates, so the
@@ -501,11 +537,13 @@ def _select_and_finalize(all_aln: list[dict], ref: Reference,
                 bias[b, cslot] = acfg.bias
                 a['overlaps_region'] = True
 
-    chosen = np.asarray(selection.select_alignments(
-        qs, qe, sc, vmask, ol_cost=acfg.ol_cost,
-        max_overlap=acfg.max_overlap,
-        bias=bias if regions else None,
-        min_score=acfg.min_selected_score))
+    # bias of all-ones is numerically identical to bias=None (score * 1.0
+    # in float32 is exact), so the kernel signature stays fixed for the
+    # sharded dispatch
+    chosen = np.asarray(dispatch.dp_call(
+        _select_kernel, (qs, qe, sc, vmask, bias),
+        statics=(acfg.ol_cost, acfg.max_overlap,
+                 acfg.min_selected_score)))
 
     sel = []
     for ai, a in enumerate(all_aln):

@@ -498,7 +498,15 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
 
 def get_subgraphs(edges, node_pos):
     """Connected components as a list of qname sets, ordered by first-seen
-    node (networkx iteration order)."""
+    node (networkx iteration order).
+
+    Under an active mesh the edge list is split into per-device shards and
+    merged with an all-gather before label propagation
+    (parallel/cluster_merge.py — the multi-host path where each process
+    contributes the edges of its own read shard, SURVEY section 5.8); the
+    component sets and their order are identical to the local path because
+    both label by smallest node id and the ordering scan below depends
+    only on membership."""
     if not edges:
         return []
     n = len(node_pos)
@@ -507,7 +515,16 @@ def get_subgraphs(edges, node_pos):
         names[pos] = name
     earr = np.array([[node_pos[a], node_pos[b]] for a, b in edges],
                     dtype=np.int32)
-    labels = np.asarray(components.connected_components_padded(earr, n))
+    from fslr_tpu.parallel import dispatch
+    mesh = dispatch.active_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        from fslr_tpu.parallel.cluster_merge import merged_components
+        n_dev = mesh.devices.size
+        per = -(-len(earr) // n_dev)
+        shards = [earr[i * per:(i + 1) * per] for i in range(n_dev)]
+        labels = np.asarray(merged_components(mesh, shards, n, per))
+    else:
+        labels = np.asarray(components.connected_components_padded(earr, n))
     comp_order = []
     comp_members = {}
     for pos in range(n):

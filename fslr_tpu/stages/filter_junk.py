@@ -39,6 +39,7 @@ from fslr_tpu.encode import batch_encode, bucket_length, encode, revcomp
 from fslr_tpu.io.fastq import FastxRecord, read_fastx
 from fslr_tpu.ops import kmer_stats, ssw, tantan
 from fslr_tpu.panel import PrimerPanel
+from fslr_tpu.parallel import dispatch
 
 
 def _mask_to_fasta_seq(seq: str, mask: np.ndarray) -> str:
@@ -81,6 +82,14 @@ def _pack_mask_device(m):
                    * w[None, None, :], axis=2).astype(jnp.uint8)
 
 
+def _mask_gate_packed(seq, lens, cfg):
+    """Repeat mask (bit-packed) + junk gate for one batch — one fused
+    device program so the multi-chip dispatch shards a single call."""
+    m = tantan.repeat_mask(seq, lens, cfg)
+    g = kmer_stats.junk_gates(seq, lens, m, cfg)
+    return _pack_mask_device(m), g
+
+
 def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
                         config: PipelineConfig, backend: str | None = None):
     """Classify records. Returns (keep_flags, masks, counters)."""
@@ -116,9 +125,9 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
             # fixed batch shape (step rows) so the HMM compiles once
             seqs = seqs + [''] * (step - len(part))
             seq, lens = batch_encode(seqs, L)
-            m = tantan.repeat_mask(seq, lens, cfg)
-            g = kmer_stats.junk_gates(seq, lens, m, cfg)
-            mask_pending.append((part, L, _pack_mask_device(m), g))
+            mp, g = dispatch.dp_call(_mask_gate_packed, (seq, lens),
+                                     statics=(cfg,))
+            mask_pending.append((part, L, mp, g))
     gate = np.zeros(n, dtype=bool)
     if mask_pending:
         flat_m = np.asarray(jnp.concatenate(
@@ -163,7 +172,9 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
                 m = np.zeros((step, L), dtype=bool)
                 for bi, i in enumerate(part):
                     m[bi, :len(masks[i])] = masks[i]
-                j = kmer_stats.junk_blocks(seq, lens, jnp.asarray(m), cfg)
+                j = dispatch.dp_call(kmer_stats.junk_blocks,
+                                     (seq, lens, jnp.asarray(m)),
+                                     statics=(cfg,))
                 rep_pending.append((part, j))
         flat_j = np.asarray(jnp.concatenate(
             [jd.reshape(-1).astype(jnp.uint8) for (_, jd) in rep_pending])
@@ -231,8 +242,9 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
                 t[r, :len(w)] = w
                 tlens[r] = len(w)
                 q[r] = qrows[qi]
-            score, _, _ = ssw.sw_max_packed(q, t, tlens, config.scoring,
-                                            stride, backend=backend)
+            score, _, _ = dispatch.dp_call(
+                ssw.sw_max_packed, (q, t, tlens),
+                statics=(config.scoring, stride, backend))
             pending.append((rows, score))
         flat_s = np.asarray(jnp.concatenate(
             [jnp.ravel(s) for (_, s) in pending]) if len(pending) > 1
@@ -246,21 +258,18 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
                 if svals[r] >= cfg.concatemer_score:
                     concat[i] = True
 
-    # ---- decisions + counters (reference order: junk, then short/concat)
-    for i in range(n):
-        if junk[i]:
-            keep[i] = False
-            counters['junk_seqs_dropped'] += 1
-        elif short[i]:
-            keep[i] = False
-            counters['short_seqs_dropped'] += 1
-        elif concat[i]:
-            keep[i] = False
-            counters['concatemers_dropped'] += 1
-        if keep[i]:
-            counters['total_kept'] += 1
-        else:
-            counters['total_dropped'] += 1
+    # ---- decisions + counters (reference order: junk, then short/concat).
+    # Totals go through dispatch.dp_sum: plain numpy sums single-device,
+    # per-shard partial sums + psum over the mesh (the reference's
+    # Manager-dict counters, main.py:50-57, without locks).
+    keep = ~(junk | short | concat)
+    nj, ns, nc, nk = dispatch.dp_sum(
+        junk, ~junk & short, ~junk & ~short & concat, keep)
+    counters['junk_seqs_dropped'] = nj
+    counters['short_seqs_dropped'] = ns
+    counters['concatemers_dropped'] = nc
+    counters['total_kept'] = nk
+    counters['total_dropped'] = n - nk
     return keep, masks, junk, short, concat, counters
 
 

@@ -44,6 +44,7 @@ from fslr_tpu.encode import encode, revcomp
 from fslr_tpu.io.fastq import FastxRecord, read_fastx
 from fslr_tpu.ops import ssw
 from fslr_tpu.panel import PrimerPanel
+from fslr_tpu.parallel import dispatch
 
 ORIENT_COMBOS = (('F', 'R'), ('R', 'F'), ('F', 'F'), ('R', 'R'))
 
@@ -93,7 +94,8 @@ def _dispatch_side(records, targets, window, scoring, side: str,
             tc_ = np.pad(tc_, ((0, pad), (0, 0)), constant_values=4)
             qlc = np.pad(qlc, (0, pad))
             tlc = np.pad(tlc, (0, pad))
-        res = ssw.sw_locate(qc, tc_, qlc, tlc, scoring, backend=backend)
+        res = dispatch.dp_call(ssw.sw_locate, (qc, tc_, qlc, tlc),
+                               statics=(scoring, backend))
         outs.append(jnp.stack([res[k].astype(jnp.float32)
                                for k in _SW_KEYS]))
         off += rows

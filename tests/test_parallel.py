@@ -47,6 +47,36 @@ def test_sharded_matches_single_device():
         assert int(v) == int(sharded['counters'][key]), key
 
 
+def test_production_pipeline_sharded_artifacts_identical(tmp_path):
+    """THE multi-chip guarantee: running the PRODUCTION pipeline with every
+    stage kernel shard_mapped over an 8-device mesh produces artifacts
+    byte-for-byte identical to the single-device run (VERDICT round-1
+    item 1)."""
+    from fslr_tpu.config import PipelineConfig
+    from fslr_tpu.parallel.mesh import make_mesh
+    from fslr_tpu.pipeline import run_pipeline
+
+    ref_path, fq_dir = graft.write_tiny_dataset(str(tmp_path))
+
+    def run(tag, mesh):
+        out = str(tmp_path / f'out_{tag}')
+        config = PipelineConfig(name='P', out=out, ref=ref_path,
+                                primers=('21q1', '17p6'), basecalled=fq_dir)
+        run_pipeline(config, backend='jax', mesh=mesh)
+        return out
+
+    out1 = run('single', None)
+    out8 = run('mesh8', make_mesh(8))
+
+    for suffix in ('.mappings.bed', '.mappings.cluster.bed',
+                   '.mappings.representative.bed',
+                   '.filter_counts_summary.csv', '.without_primers.fq',
+                   '.bwa_dodi.bam'):
+        with open(f'{out1}/P{suffix}', 'rb') as f1, \
+             open(f'{out8}/P{suffix}', 'rb') as f8:
+            assert f1.read() == f8.read(), suffix
+
+
 def test_distributed_cluster_merge():
     """Per-shard edges all-gathered over the mesh give the same components
     as a single-host computation."""
