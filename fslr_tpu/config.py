@@ -129,6 +129,17 @@ class ClusterConfig:
     # data the superset is up to ~10x the edge-capped walked set, so
     # one-shot only wins while the round-sync overhead dominates compute
     max_oneshot_pairs: int = 200_000
+    # encounter streams above this size enumerate + min-reduce ON DEVICE
+    # (ops/encounters.py) instead of host numpy; the walk then fetches only
+    # the entry windows it touches.  Below it the host path wins (device
+    # round-trips dominate tiny streams).
+    device_enum_min_encounters: int = 4_000_000
+    # encounters expanded per device slice (bounds transient HBM: a slice
+    # holds ~10 int64/encounter temporaries during the sort)
+    enum_slice_cap: int = 32 * 1024 * 1024
+    # per-slice uniques accumulate on device and re-dedup when this many
+    # are held (bounds the incremental-merge sort size)
+    enum_merge_cap: int = 96 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)

@@ -253,12 +253,49 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
     max_itv = max((len(v) for v in query_intervals.values()), default=1)
     max_nc = max((len(v[3]) for v in index.arrays.values()), default=1) + 1
     trav_scale = max_itv * max_nc
-    # Bounded-memory enumeration: the raw encounter stream is quadratic in
-    # recurrent-breakpoint group size (a 500-read group contributes ~1M
-    # encounters per interval pair; at 1M reads the full stream would be
-    # tens of GB), so interval ranges are processed in slices capped at
-    # ENCOUNTER_SLICE_CAP encounters, each reduced to per-pair minima
-    # before the next slice materializes.
+
+    # per-chrom join arrays, shared by the host and device paths
+    jobs = []       # (rid_arr, irk_arr, starts, ends, lo, counts, ccum)
+    total_enc = 0
+    for chrom, (starts, ends, pmax, items) in index.arrays.items():
+        nc = len(items)
+        if nc == 0:
+            continue
+        rid_arr = np.fromiter((qid[i.qname] for i in items), np.int64, nc)
+        irk_arr = np.fromiter((itv_rank[id(i)] for i in items),
+                              np.int64, nc)
+        hi = np.searchsorted(starts, ends, side='right')
+        lo = np.minimum(np.searchsorted(pmax, starts, side='left'), hi)
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        total_enc += total
+        ccum = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        jobs.append((rid_arr, irk_arr, np.asarray(starts),
+                     np.asarray(ends), lo, counts, ccum))
+
+    dev_arrays = jaccard.upload_interval_arrays(
+        chrom_a, start_a, end_a, size_a, valid_a, np.minimum(lens_a, M))
+    over = np.nonzero(lens_a > M)[0]
+    over_set = set(over.tolist())
+
+    if total_enc >= cfg.device_enum_min_encounters \
+            and trav_scale < (1 << 30):
+        # (trav_scale >= 2^30 would overflow the device path's packed
+        # 12-byte pair state — pathological interval counts stay host-side)
+        # scale path: enumeration + per-pair min-reduce on device; the
+        # walk fetches only the entry windows it touches
+        return _query_graph_device(
+            jobs, R, max_itv, max_nc, trav_scale, qlen2_arr, naln_arr,
+            overlap_cutoff, jaccard_cutoffs, edge_threshold, qlen_diff,
+            n_aln_diff, cfg, query_intervals, qnames_order, over_set,
+            dev_arrays, M)
+
+    # Bounded-memory host enumeration: the raw encounter stream is
+    # quadratic in recurrent-breakpoint group size, so interval ranges are
+    # processed in slices capped at ENCOUNTER_SLICE_CAP encounters, each
+    # reduced to per-pair minima before the next slice materializes.
     SLICE_CAP = ENCOUNTER_SLICE_CAP
     red_pk, red_tv = [], []
 
@@ -281,18 +318,9 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
 
     slice_jobs = []     # (rid_arr, irk_arr, starts, ends, lo, counts,
                         #  ccum, s0, s1, idt)
-    for chrom, (starts, ends, pmax, items) in index.arrays.items():
-        nc = len(items)
-        rid_arr = np.fromiter((qid[i.qname] for i in items), np.int64, nc)
-        irk_arr = np.fromiter((itv_rank[id(i)] for i in items),
-                              np.int64, nc)
-        hi = np.searchsorted(starts, ends, side='right')
-        lo = np.minimum(np.searchsorted(pmax, starts, side='left'), hi)
-        counts = hi - lo
+    for rid_arr, irk_arr, starts, ends, lo, counts, ccum in jobs:
+        nc = len(starts)
         total = int(counts.sum())
-        if total == 0:
-            continue
-        ccum = np.concatenate([[0], np.cumsum(counts)])
         # slice boundaries over query-interval index, capped by encounters
         cuts = [0]
         while cuts[-1] < nc:
@@ -359,10 +387,6 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         eq = ei = eo = np.zeros(0, np.int64)
 
     bounds = np.searchsorted(eq, np.arange(R + 1))
-    dev_arrays = jaccard.upload_interval_arrays(
-        chrom_a, start_a, end_a, size_a, valid_a, np.minimum(lens_a, M))
-    over = np.nonzero(lens_a > M)[0]
-    over_set = set(over.tolist())
     # per-ENTRY value arrays: the walk only ever looks up entry i's own
     # (eq[i], eo[i]) pair, so values index by entry position — a tuple-key
     # dict here cost ~seconds of build + lookup at millions of pairs
@@ -490,6 +514,207 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
     for q in active:
         for qb, j in embuf[int(q)]:
             emit(int(q), qb, j)
+
+    match_df = pd.DataFrame(
+        match, columns=['query1', 'query2', 'jaccard_similarity'])
+    return match_df, edges, node_pos
+
+
+def _query_graph_device(jobs, R, max_itv, max_nc, trav_scale, qlen2_arr,
+                        naln_arr, overlap_cutoff, jaccard_cutoffs,
+                        edge_threshold, qlen_diff, n_aln_diff,
+                        cfg: ClusterConfig, query_intervals, qnames_order,
+                        over_set, dev_arrays, M):
+    """Scale path of query_graph: the encounter stream is enumerated and
+    min-reduced on DEVICE (ops/encounters.py) and the gated entries stay
+    device-resident; the traversal replay below fetches only the entry
+    windows it touches (the edge cap makes that a small fraction).  The
+    emitted match/edges/node order is identical to the host path — the
+    same per-pair first-encounter keys drive the same walk
+    (tests/test_cluster.py asserts equality)."""
+    from fslr_tpu.ops import encounters
+
+    ents = encounters.build_entries(
+        [encounters.ChromJob(starts=s, ends=e, lo=lo, ccum=ccum, rid=rid,
+                             irk=irk)
+         for (rid, irk, s, e, lo, counts, ccum) in jobs],
+        R, max_itv, max_nc, qlen2_arr, naln_arr,
+        1.0 - qlen_diff, 1.0 - n_aln_diff, cfg.enum_slice_cap,
+        merge_cap=cfg.enum_merge_cap)
+    bounds = ents.bounds
+    E = ents.E
+
+    def as_tuples(lst):
+        return [(i.chrom, i.start, i.end, i.aln_size) for i in lst]
+
+    cutoffs = list(jaccard_cutoffs)
+    n_cut = len(cutoffs)
+    cache: dict[int, dict] = {}
+
+    def _prime(q, lo_b, triple):
+        ei_c, eo_c, nxt_c = triple
+        f = len(ei_c)
+        cache[q] = dict(base=lo_b, ei=ei_c, eo=eo_c, nxt=nxt_c,
+                        val_j=np.zeros(f, np.float64),
+                        val_n=np.zeros(f, np.int64),
+                        known=np.zeros(f, bool), req=np.zeros(f, bool))
+
+    def _extend(q, triple):
+        c = cache[q]
+        ei_c, eo_c, nxt_c = triple
+        f = len(ei_c)
+        for k, new in (('ei', ei_c), ('eo', eo_c), ('nxt', nxt_c)):
+            c[k] = np.concatenate([c[k], new])
+        for k, dt in (('val_j', np.float64), ('val_n', np.int64),
+                      ('known', bool), ('req', bool)):
+            c[k] = np.concatenate([c[k], np.zeros(f, dt)])
+
+    def walk(q, i, ec, buf, fetch_req, val_req, W):
+        lo_b, hi_b = int(bounds[q]), int(bounds[q + 1])
+        c = cache.get(q)
+        while i < hi_b:
+            if c is None or i < c['base'] or \
+                    i >= c['base'] + len(c['ei']):
+                fetch_req.append((q, i, min(i + W, hi_b)))
+                return False, i, ec
+            k = i - c['base']
+            if not c['known'][k]:
+                # speculative value window within the fetched region
+                end = min(i + W, c['base'] + len(c['ei']), hi_b)
+                for t in range(i, end):
+                    tk = t - c['base']
+                    if not c['known'][tk] and not c['req'][tk]:
+                        c['req'][tk] = True
+                        val_req.append((q, t))
+                return False, i, ec
+            n_i = c['val_n'][k]
+            if n_i != 0:
+                target = cutoffs[n_i - 1] if n_i - 1 < n_cut \
+                    else cutoffs[-1]
+                if c['val_j'][k] >= target:
+                    ec += 1
+                    buf.append((int(c['eo'][k]), c['val_j'][k]))
+                if ec >= edge_threshold:
+                    # skip the rest of this interval's neighbors: jump to
+                    # the precomputed next (read, interval) run boundary
+                    i = int(c['nxt'][k])
+                    continue
+            i += 1
+        return True, i, ec
+
+    def resolve(val_req):
+        """Batch greedy Jaccard for (q, entry) requests; q is the l1
+        role."""
+        qa = np.array([q for q, _ in val_req], np.int64)
+        qb = np.empty(len(val_req), np.int64)
+        for r, (q, t) in enumerate(val_req):
+            c = cache[q]
+            qb[r] = c['eo'][t - c['base']]
+        if over_set:
+            host = (np.isin(qa, list(over_set))
+                    | np.isin(qb, list(over_set)))
+        else:
+            host = np.zeros(len(val_req), bool)
+        j_out = np.zeros(len(val_req), np.float64)
+        n_out = np.zeros(len(val_req), np.int64)
+        dev_rows = np.nonzero(~host)[0]
+        if len(dev_rows):
+            pairs = np.stack([qa[dev_rows], qb[dev_rows]],
+                             axis=1).astype(np.int32)
+            j_arr, n_arr = jaccard.jaccard_pairs_indexed(
+                pairs, *dev_arrays, overlap_cutoff, M=M)
+            j_out[dev_rows] = j_arr
+            n_out[dev_rows] = n_arr
+        for r in np.nonzero(host)[0]:
+            j_out[r], n_out[r] = jaccard.jaccard_host(
+                as_tuples(query_intervals[qnames_order[qa[r]]]),
+                as_tuples(query_intervals[qnames_order[qb[r]]]),
+                overlap_cutoff)
+        for r, (q, t) in enumerate(val_req):
+            c = cache[q]
+            k = t - c['base']
+            c['val_j'][k] = j_out[r]
+            c['val_n'][k] = n_out[r]
+            c['known'][k] = True
+
+    active = np.nonzero(bounds[1:] > bounds[:-1])[0]
+    pos = {int(q): (int(bounds[q]), 0) for q in active}
+    embuf: dict[int, list] = {int(q): [] for q in active}
+    pending = list(pos.keys())
+
+    # one-shot: small gated sets resolve everything in one batch (mirrors
+    # the host path's fast path; emission order is walk-determined either
+    # way)
+    if 0 < E <= cfg.max_oneshot_pairs:
+        triples = ents.fetch(
+            [(int(bounds[q]), int(bounds[q + 1])) for q in pending])
+        reqs = []
+        for q, tr in zip(pending, triples):
+            _prime(q, int(bounds[q]), tr)
+            reqs.extend((q, t) for t in range(int(bounds[q]),
+                                              int(bounds[q + 1])))
+        if reqs:
+            resolve(reqs)
+
+    # W starts near the edge cap (most queries finish in ~cap emits plus
+    # one probe per interval run) and grows for the stragglers; a large
+    # initial W would speculative-resolve O(queries x W) Jaccards
+    W = max(16, edge_threshold + 6)
+    import os as _os
+    import sys as _sys
+    import time as _time
+    dbg = bool(_os.environ.get('FSLR_ENC_DEBUG'))
+    rounds = 0
+    while pending:
+        t0 = _time.time()
+        fetch_req: list[tuple] = []
+        val_req: list[tuple] = []
+        nxt_pending = []
+        for q in pending:
+            i, ec = pos[q]
+            fin, i, ec = walk(q, i, ec, embuf[q], fetch_req, val_req, W)
+            pos[q] = (i, ec)
+            if not fin:
+                nxt_pending.append(q)
+        t1 = _time.time()
+        if fetch_req:
+            triples = ents.fetch([(s, t) for (_, s, t) in fetch_req])
+            for (q, s, t), tr in zip(fetch_req, triples):
+                c = cache.get(q)
+                if c is not None and s == c['base'] + len(c['ei']):
+                    _extend(q, tr)
+                else:
+                    _prime(q, s, tr)
+        t2 = _time.time()
+        if val_req:
+            resolve(val_req)
+        if dbg:
+            print(f'[enc] round={rounds} W={W} pending={len(pending)} '
+                  f'fetch={len(fetch_req)} vals={len(val_req)} '
+                  f'walk={t1 - t0:.2f}s fetch={t2 - t1:.2f}s '
+                  f'resolve={_time.time() - t2:.2f}s', file=_sys.stderr)
+        if not fetch_req and not val_req:
+            break
+        pending = nxt_pending
+        W = min(W * 4, 16384)
+        rounds += 1
+
+    # emit in exact traversal order (identical to the host path)
+    match = set()
+    edges = []
+    node_pos = {}
+
+    def note(n):
+        if n not in node_pos:
+            node_pos[n] = len(node_pos)
+
+    for q in active:
+        for qb, j in embuf[int(q)]:
+            name_a, name_b = qnames_order[int(q)], qnames_order[qb]
+            match.add((name_a, name_b, j))
+            note(name_a)
+            note(name_b)
+            edges.append((name_a, name_b))
 
     match_df = pd.DataFrame(
         match, columns=['query1', 'query2', 'jaccard_similarity'])

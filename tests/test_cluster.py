@@ -151,6 +151,145 @@ def test_connected_components():
     assert labels[6] == 6
 
 
+def _multi_filling_read(qname, s1, s2, jitter=0, n_fill=2, qlen=3000):
+    """Read with n_fill interior fillings at breakpoints s1/s2(+jitter)."""
+    segs = [('chr2', 8_000_000, 8_000_500, 0, 500)]
+    q = 500
+    starts = [s1, s2][:n_fill] + [s2 + 50_000 * k
+                                  for k in range(n_fill - 2)]
+    for s in starts:
+        segs.append(('chr1', s + jitter, s + jitter + 1000, q, q + 1000))
+        q += 1000
+    segs.append(('chr2', 8_100_000, 8_100_500, q, q + 500))
+    return _read_rows(qname, segs, qlen=q + 500)
+
+
+def _mixed_dataset():
+    """Recurrent groups (edge cap territory), jittered members, gate
+    variation, multi-interval reads, and one read exceeding the Jaccard
+    kernel's M cap (host-fallback path)."""
+    reads = []
+    # 15-read group at one breakpoint pair: cap (10) triggers mid-walk
+    for i in range(15):
+        reads.append(_multi_filling_read(f'G{i:02d}.x.21q1F_17p6R',
+                                         2_000_000, 2_400_000,
+                                         jitter=(i % 3) * 40))
+    # 6-read single-filling group with jitter
+    for i in range(6):
+        reads.append(_fusion_read(f'H{i}.x.21q1F_17p6R', 3_000_000,
+                                  jitter=(i % 2) * 100))
+    # overlapping-but-different-qlen pair (gate boundary)
+    reads.append(_read_rows('Q0.x', [('chr2', 8_000_000, 8_000_500, 0, 500),
+                                     ('chr1', 5_000_000, 5_001_000, 500,
+                                      1500),
+                                     ('chr2', 8_100_000, 8_100_500, 1500,
+                                      2000)], qlen=2000))
+    reads.append(_read_rows('Q1.x', [('chr2', 8_000_000, 8_000_500, 0, 500),
+                                     ('chr1', 5_000_000, 5_001_000, 500,
+                                      1540),
+                                     ('chr2', 8_100_000, 8_100_500, 1540,
+                                      2040)], qlen=2040))
+    # read with more intervals than the kernel cap M=32 (host fallback),
+    # overlapping the G group's first breakpoint
+    big = [('chr2', 8_000_000, 8_000_500, 0, 500)]
+    q = 500
+    for k in range(35):
+        big.append(('chr1', 2_000_000 + 20 * k, 2_001_000 + 20 * k,
+                    q, q + 1000))
+        q += 1000
+    big.append(('chr2', 8_100_000, 8_100_500, q, q + 500))
+    reads.append(_read_rows('BIG0.x', big, qlen=q + 500))
+    # singletons
+    reads.append(_fusion_read('S0.x.21q1F_17p6R', 6_000_000))
+    return _bed(reads)
+
+
+def test_device_enumeration_matches_host():
+    """The device encounter path (ops/encounters.py) must replay the exact
+    traversal: identical edges (order included), node order, and match
+    values (VERDICT round-1 item 2)."""
+    import dataclasses as dc
+
+    bed = _mixed_dataset()
+    results = {}
+    for tag, thresh in (('host', 1 << 62), ('device', 1)):
+        cfg = dc.replace(CFG, device_enum_min_encounters=thresh)
+        b, lens, mask, cmap = C.rename_chromosomes(bed, CHR_LEN, set())
+        fill = C.keep_fillings(b)
+        data = C.prepare_data(fill, set(), lens)
+        results[tag] = C.query_graph(
+            data, cfg.overlap, list(cfg.jaccard_cutoffs),
+            cfg.edge_threshold, cfg.qlen_diff, cfg.n_alignment_diff, cfg)
+
+    m_host, e_host, n_host = results['host']
+    m_dev, e_dev, n_dev = results['device']
+    assert e_host == e_dev
+    assert n_host == n_dev
+    mh = m_host.sort_values(['query1', 'query2']).reset_index(drop=True)
+    md = m_dev.sort_values(['query1', 'query2']).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mh, md)
+    assert len(e_host) > 10          # edge cap actually exercised
+
+
+def test_device_enumeration_random_soup_small_slices():
+    """Random interval soup, tiny slice/merge caps: exercises multi-slice
+    enumeration, the incremental device merge, and the borderline-gate
+    host resolution; must equal the host path exactly."""
+    import dataclasses as dc
+
+    rng = np.random.default_rng(42)
+    reads = []
+    for g in range(10):
+        base = 1_000_000 + g * 300_000
+        for i in range(40):
+            jitter = int(rng.integers(0, 120))
+            reads.append(_fusion_read(f'R{g:02d}_{i:02d}.x', base,
+                                      jitter=jitter))
+    # borderline qlen2 ratio: 2400/2500 = 0.96 == 1 - qlen_diff exactly
+    # (float64 ==, float32 within the band); n_aln ratio 3/5 < 0.75 fails
+    # definitively, so the gate outcome hinges on the exact host check
+    reads.append(_read_rows('BL0.x', [
+        ('chr2', 8_000_000, 8_000_500, 0, 500),
+        ('chr1', 5_000_000, 5_001_000, 500, 2900),
+        ('chr2', 8_100_000, 8_100_500, 2900, 3400)], qlen=3400))
+    reads.append(_read_rows('BL1.x', [
+        ('chr2', 8_000_000, 8_000_300, 0, 300),
+        ('chr1', 5_000_000, 5_000_800, 300, 1100),
+        ('chr1', 5_000_700, 5_001_500, 1100, 1900),
+        ('chr1', 5_001_400, 5_002_300, 1900, 2800),
+        ('chr2', 8_100_000, 8_100_300, 2800, 3100)], qlen=3100))
+    bed = _bed(reads)
+
+    results = {}
+    for tag, kw in (('host', dict(device_enum_min_encounters=1 << 62)),
+                    ('device', dict(device_enum_min_encounters=1,
+                                    enum_slice_cap=4096,
+                                    enum_merge_cap=8192))):
+        cfg = dc.replace(CFG, **kw)
+        b, lens, mask, cmap = C.rename_chromosomes(bed, CHR_LEN, set())
+        data = C.prepare_data(C.keep_fillings(b), set(), lens)
+        results[tag] = C.query_graph(
+            data, cfg.overlap, list(cfg.jaccard_cutoffs),
+            cfg.edge_threshold, cfg.qlen_diff, cfg.n_alignment_diff, cfg)
+    assert results['host'][1] == results['device'][1]    # edges
+    assert results['host'][2] == results['device'][2]    # node order
+    assert len(results['host'][1]) > 50                  # nontrivial graph
+
+
+def test_device_enumeration_cluster_stage():
+    """End-to-end cluster_stage through the device path."""
+    import dataclasses as dc
+
+    bed = _mixed_dataset()
+    cfg_dev = dc.replace(CFG, device_enum_min_encounters=1)
+    res_dev = C.cluster_stage(bed, CHR_LEN, cfg_dev)
+    res_host = C.cluster_stage(bed, CHR_LEN, CFG)
+    assert not res_dev.no_clusters
+    pd.testing.assert_frame_equal(res_host.cluster_bed, res_dev.cluster_bed)
+    pd.testing.assert_frame_equal(res_host.representative_bed,
+                                  res_dev.representative_bed)
+
+
 def test_sliced_encounter_enumeration_matches(monkeypatch):
     """A tiny SLICE_CAP forces the bounded-memory encounter path through
     many slices; cluster membership and representatives must be identical
