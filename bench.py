@@ -64,37 +64,56 @@ def make_dataset(root, n_reads=N_READS):
 
 def run_once(root, ref_path, fq_dir, tag):
     import contextlib
+    import json as _json
 
+    from fslr_tpu import instrument
     from fslr_tpu.config import PipelineConfig
     from fslr_tpu.pipeline import run_pipeline
 
     out = os.path.join(root, f'out_{tag}')
     config = PipelineConfig(name='B', out=out, ref=ref_path,
                             primers=('21q1', '17p6'), basecalled=fq_dir)
+    instrument.reset_cells()
     t0 = time.time()
     # keep stdout clean: the driver parses bench.py's single JSON line
     with contextlib.redirect_stdout(sys.stderr):
         run_pipeline(config)
-    return time.time() - t0
+    dt = time.time() - t0
+    with open(os.path.join(out, 'B.timings.json')) as fh:
+        stages = _json.load(fh)['timings_s']
+    return dt, stages, instrument.cell_counts()
 
 
 def measure(tag, n_reads=N_READS, repeats=3):
+    """Best-of-`repeats` warm runs (the tunnelled TPU link's latency
+    fluctuates several-fold between runs).  Returns a dict with reads/s,
+    per-stage timings of the best run, and DP cell-updates/s."""
     root = tempfile.mkdtemp(prefix='fslr_bench_')
     ref_path, fq_dir = make_dataset(root, n_reads)
     run_once(root, ref_path, fq_dir, tag + '_warm')     # compile warm-up
-    # steady-state: best of `repeats` warm runs (the tunnelled TPU link's
-    # latency fluctuates several-fold between runs)
-    dt = min(run_once(root, ref_path, fq_dir, f'{tag}{r}')
-             for r in range(repeats))
-    return n_reads / dt
+    best = min((run_once(root, ref_path, fq_dir, f'{tag}{r}')
+                for r in range(repeats)), key=lambda r: r[0])
+    dt, stages, cells = best
+    align_s = stages.get('align', 0.0)
+    total_cells = sum(cells.values())
+    return {
+        'reads_per_s': n_reads / dt,
+        'wall_s': round(dt, 2),
+        'stage_s': {k: round(v, 3) for k, v in sorted(
+            stages.items(), key=lambda x: -x[1])},
+        'dp_cells': cells,
+        'dp_cells_per_s': int(total_cells / dt),
+        'align_dp_cells_per_s': (int(cells.get('extend', 0) / align_s)
+                                 if align_s else 0),
+    }
 
 
 def main():
     if '--cpu-baseline' in sys.argv:
         import jax
         jax.config.update('jax_platforms', 'cpu')
-        print(json.dumps({'cpu_reads_per_s': measure('cpu', N_READS_CPU,
-                                                     repeats=1)}))
+        r = measure('cpu', N_READS_CPU, repeats=1)
+        print(json.dumps({'cpu_reads_per_s': r['reads_per_s']}))
         return
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -115,13 +134,29 @@ def main():
             json.dump({'cpu_reads_per_s': baseline}, fh)
 
     tpu = measure('tpu')
-    print(json.dumps({
+    r10k = None
+    if '--skip-10k' not in sys.argv:
+        r10k = measure('tpu10k', n_reads=10 * N_READS, repeats=1)
+    out = {
         'metric': 'end-to-end pipeline reads/s (1k synthetic fusion reads, '
-                  '2-primer panel; TPU chip vs same pipeline on host CPU)',
-        'value': round(tpu, 2),
+                  '2-primer panel; TPU chip). vs_baseline = this same '
+                  'engine forced onto the 2-core host CPU backend — the '
+                  'reference pipeline\'s native tools (bwa/dodi/tantan) '
+                  'are not installable in this image, so this is NOT a '
+                  'measured ratio vs fslr itself',
+        'value': round(tpu['reads_per_s'], 2),
         'unit': 'reads/s',
-        'vs_baseline': round(tpu / baseline, 2) if baseline else None,
-    }))
+        'vs_baseline': (round(tpu['reads_per_s'] / baseline, 2)
+                        if baseline else None),
+        'stage_s': tpu['stage_s'],
+        'align_dp_cells_per_s': tpu['align_dp_cells_per_s'],
+        'dp_cells_per_s': tpu['dp_cells_per_s'],
+    }
+    if r10k is not None:
+        out['reads_per_s_10k'] = round(r10k['reads_per_s'], 2)
+        out['stage_s_10k'] = r10k['stage_s']
+        out['align_dp_cells_per_s_10k'] = r10k['align_dp_cells_per_s']
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

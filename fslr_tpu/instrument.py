@@ -16,6 +16,34 @@ import sys
 import time
 
 
+# ---------------------------------------------------------------------------
+# DP-cell accounting (BASELINE.md target table: "Alignment DP cell-updates/s
+# measured & reported alongside reads/s").  Stage code calls add_cells() with
+# the number of useful dynamic-programming cell updates it dispatched (SW
+# primer scans, banded extension, traceback); bench.py divides by stage wall
+# time.  A plain module counter: the pipeline dispatches from one thread.
+
+_dp_cells: dict = {}
+
+
+def add_cells(n: int, tag: str = 'dp') -> None:
+    _dp_cells[tag] = _dp_cells.get(tag, 0) + int(n)
+
+
+def cell_count(tag: str | None = None) -> int:
+    if tag is not None:
+        return _dp_cells.get(tag, 0)
+    return sum(_dp_cells.values())
+
+
+def cell_counts() -> dict:
+    return dict(_dp_cells)
+
+
+def reset_cells() -> None:
+    _dp_cells.clear()
+
+
 class StageTimer:
     def __init__(self):
         self.timings: dict[str, float] = {}

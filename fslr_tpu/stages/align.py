@@ -36,6 +36,7 @@ import dataclasses
 
 import numpy as np
 
+from fslr_tpu import instrument
 from fslr_tpu.config import PipelineConfig
 from fslr_tpu.encode import bucket_length, encode, revcomp
 from fslr_tpu.index.reference import Reference, SeedIndex
@@ -427,6 +428,8 @@ def _extend_rows(cand_rows: list, seqs: list[str], enc_fwd: dict,
             packed_t, emits = dispatch.dp_call(
                 _extend_kernel, (q, qlens, ws, cmin, cmax), (genome_j,),
                 statics=(acfg.scoring, backend))
+            instrument.add_cells(int(qlens.sum(dtype=np.int64))
+                                 * banded.BW, 'extend')
             pending.append((chunk, ws, packed_t.T, emits))
 
     # Fetch ONLY the packed score columns here (6 int32/row); emit streams

@@ -34,6 +34,7 @@ from collections import Counter
 
 import numpy as np
 
+from fslr_tpu import instrument
 from fslr_tpu.config import PipelineConfig
 from fslr_tpu.encode import batch_encode, bucket_length, encode, revcomp
 from fslr_tpu.io.fastq import FastxRecord, read_fastx
@@ -245,6 +246,8 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
             score, _, _ = dispatch.dp_call(
                 ssw.sw_max_packed, (q, t, tlens),
                 statics=(config.scoring, stride, backend))
+            instrument.add_cells(int(tlens.sum(dtype=np.int64)) * 128,
+                                 'sw_concat')
             pending.append((rows, score))
         flat_s = np.asarray(jnp.concatenate(
             [jnp.ravel(s) for (_, s) in pending]) if len(pending) > 1

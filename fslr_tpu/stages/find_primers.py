@@ -39,6 +39,7 @@ from collections import Counter
 
 import numpy as np
 
+from fslr_tpu import instrument
 from fslr_tpu.config import PipelineConfig
 from fslr_tpu.encode import encode, revcomp
 from fslr_tpu.io.fastq import FastxRecord, read_fastx
@@ -96,6 +97,8 @@ def _dispatch_side(records, targets, window, scoring, side: str,
             tlc = np.pad(tlc, (0, pad))
         res = dispatch.dp_call(ssw.sw_locate, (qc, tc_, qlc, tlc),
                                statics=(scoring, backend))
+        instrument.add_cells(int((qlc.astype(np.int64) * tlc).sum()),
+                             'sw_primer')
         outs.append(jnp.stack([res[k].astype(jnp.float32)
                                for k in _SW_KEYS]))
         off += rows
