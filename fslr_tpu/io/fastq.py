@@ -53,40 +53,78 @@ def _split_header(line: str) -> tuple[str, str | None]:
 
 
 def read_fastx(path: str) -> Iterator[FastxRecord]:
-    """Iterate records from a FASTQ/FASTA file (optionally gzipped).
+    """Iterate string records from a FASTQ/FASTA file (optionally gzipped).
 
-    This is the string-record interface; batch consumers that want encoded
-    arrays without per-read string work should use the native columnar
-    parser (io/native.parse_fastx) directly.  Set FSLR_NATIVE=1 to route
-    this interface through the native parser too (it normalizes non-ACGT
-    symbols to N).
+    This is the string-record interface; batch consumers use
+    :func:`read_reads` (columnar, zero per-read string work).  Pure-Python
+    parse: materializing strings from the native parser costs more than
+    parsing them directly.
     """
-    if os.environ.get('FSLR_NATIVE'):
-        try:
-            from fslr_tpu.io.native import parse_fastx
-            fa = parse_fastx(path)
-        except Exception:
-            fa = None
-        if fa is not None:
-            yield from _iter_native(fa)
-            return
     yield from _read_fastx_py(path)
 
 
-_DECODE_TABLE = None
+def read_reads(path: str):
+    """Columnar read of a FASTQ/FASTA file -> :class:`FastxArrays`.
+
+    Default path for the stages: the native C++ parser (zlib for .gz,
+    encoded codes + lowercase mask straight into numpy arrays, no per-read
+    Python strings).  Falls back transparently to the pure-Python parser
+    when the native library can't build/load (set ``FSLR_NO_NATIVE=1`` to
+    force the fallback).  The native parser normalizes non-ACGTN symbols
+    to N; the fallback applies the same encoding, so stage decisions are
+    identical on either path.
+    """
+    if not os.environ.get('FSLR_NO_NATIVE'):
+        try:
+            from fslr_tpu.io.native import parse_fastx
+            fa = parse_fastx(path)
+        except Exception as e:
+            import sys
+            print(f'WARNING: native FASTX parser failed on {path} '
+                  f'({type(e).__name__}: {e}); using the Python parser',
+                  file=sys.stderr)
+            fa = None
+        if fa is not None:
+            return fa
+    return records_to_arrays(_read_fastx_py(path))
 
 
-def _iter_native(fa) -> Iterator[FastxRecord]:
-    global _DECODE_TABLE
+def records_to_arrays(records: Iterable[FastxRecord]):
+    """Build a :class:`FastxArrays` from string records (the non-native
+    constructor; also used to columnarize in-memory record lists)."""
     import numpy as np
-    if _DECODE_TABLE is None:
-        _DECODE_TABLE = np.frombuffer(b'ACGTN', dtype=np.uint8)
-    for i in range(fa.n):
-        codes = fa.seq_codes(i)
-        raw = _DECODE_TABLE[codes] | (fa.lower_mask(i) << 5)
-        yield FastxRecord(name=fa.name(i),
-                          sequence=raw.tobytes().decode('ascii'),
-                          quality=fa.qual(i), comment=fa.comment(i))
+
+    from fslr_tpu.encode import encode, lowercase_mask
+    from fslr_tpu.io.native import FastxArrays
+
+    codes_l, lower_l, names_l, quals_l, comments_l = [], [], [], [], []
+    for rec in records:
+        codes_l.append(encode(rec.sequence))
+        lower_l.append(lowercase_mask(rec.sequence).astype(np.uint8))
+        names_l.append(rec.name.encode())
+        quals_l.append((rec.quality or '').encode())
+        comments_l.append((rec.comment or '').encode())
+
+    def _cat(parts):
+        off = np.zeros(len(parts) + 1, np.int64)
+        if parts:
+            np.cumsum([len(p) for p in parts], out=off[1:])
+        if off[-1] == 0:
+            return np.zeros(0, np.uint8), off
+        arrs = [np.frombuffer(p, np.uint8) if isinstance(p, bytes) else p
+                for p in parts if len(p)]
+        return np.concatenate(arrs), off
+
+    codes, seq_off = _cat(codes_l)
+    lower, _ = _cat(lower_l)
+    names, name_off = _cat(names_l)
+    quals, qual_off = _cat(quals_l)
+    comments, comment_off = _cat(comments_l)
+    has_qual = any(len(q) for q in quals_l)
+    return FastxArrays(len(codes_l), codes, lower, seq_off,
+                       names.tobytes(), name_off,
+                       quals.tobytes() if has_qual else b'', qual_off,
+                       comments.tobytes(), comment_off)
 
 
 def _read_fastx_py(path: str) -> Iterator[FastxRecord]:

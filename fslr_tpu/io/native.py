@@ -16,6 +16,8 @@ import numpy as np
 _LIB = None
 _TRIED = False
 
+_DECODE = np.frombuffer(b'ACGTN', dtype=np.uint8)
+
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), 'native')
 
@@ -91,6 +93,61 @@ class FastxArrays:
 
     def length(self, i: int) -> int:
         return int(self.seq_off[i + 1] - self.seq_off[i])
+
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.seq_off)
+
+    def seq_str(self, i: int, lower: np.ndarray | None = None) -> str:
+        """Decode read ``i`` to a string; ``lower`` overrides the stored
+        lowercase mask (e.g. the filter stage's computed repeat mask)."""
+        codes = self.seq_codes(i)
+        raw = _DECODE[codes]
+        m = self.lower_mask(i) if lower is None else lower[:len(raw)]
+        if m is not None and len(m) and m.any():
+            raw = raw | (m.astype(np.uint8) << 5)
+        return raw.tobytes().decode('ascii')
+
+    def subset(self, idx, lower_override: list | None = None):
+        """New FastxArrays holding rows ``idx`` (in the given order).
+        ``lower_override[j]`` replaces row ``idx[j]``'s lowercase mask."""
+        idx = list(idx)
+        codes_l, lower_l, names_l, quals_l, comments_l = [], [], [], [], []
+        for j, i in enumerate(idx):
+            codes_l.append(self.seq_codes(i))
+            m = (lower_override[j] if lower_override is not None
+                 else self.lower_mask(i))
+            lower_l.append(np.asarray(m, np.uint8))
+            names_l.append(self._names[self.name_off[i]:
+                                       self.name_off[i + 1]])
+            if len(self._quals):
+                quals_l.append(self._quals[self.qual_off[i]:
+                                           self.qual_off[i + 1]])
+            else:
+                quals_l.append(b'')
+            comments_l.append(self._comments[self.comment_off[i]:
+                                             self.comment_off[i + 1]])
+
+        def _cat(parts):
+            off = np.zeros(len(parts) + 1, np.int64)
+            if parts:
+                np.cumsum([len(p) for p in parts], out=off[1:])
+            if off[-1] == 0:
+                return np.zeros(0, np.uint8), off
+            arrs = [np.frombuffer(p, np.uint8)
+                    if isinstance(p, bytes) else p
+                    for p in parts if len(p)]
+            return np.concatenate(arrs), off
+
+        codes, seq_off = _cat(codes_l)
+        lower, _ = _cat(lower_l)
+        names, name_off = _cat(names_l)
+        quals, qual_off = _cat(quals_l)
+        comments, comment_off = _cat(comments_l)
+        has_qual = len(self._quals) > 0
+        return FastxArrays(len(idx), codes, lower, seq_off,
+                           names.tobytes(), name_off,
+                           quals.tobytes() if has_qual else b'', qual_off,
+                           comments.tobytes(), comment_off)
 
 
 def parse_fastx(path: str) -> FastxArrays | None:

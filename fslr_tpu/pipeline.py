@@ -181,7 +181,7 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None):
                 c = filter_junk.run_file(pth, panel, config, backend,
                                          out_box=box)
             if 'path' in box:
-                handoff[box['path']] = box['records']
+                handoff[box['path']] = box['reads']
             _merge_existing(filter_counts, c)
 
         for pth in glob.glob(f'{config.out}/*filtered_junk.fq'):

@@ -36,18 +36,23 @@ import numpy as np
 
 from fslr_tpu import instrument
 from fslr_tpu.config import PipelineConfig
-from fslr_tpu.encode import batch_encode, bucket_length, encode, revcomp
-from fslr_tpu.io.fastq import FastxRecord, read_fastx
+from fslr_tpu.encode import bucket_length, encode, revcomp
+from fslr_tpu.io.fastq import read_reads, records_to_arrays
 from fslr_tpu.ops import kmer_stats, ssw, tantan
 from fslr_tpu.panel import PrimerPanel
 from fslr_tpu.parallel import dispatch
 
 
-def _mask_to_fasta_seq(seq: str, mask: np.ndarray) -> str:
-    arr = np.frombuffer(seq.upper().encode(), dtype=np.uint8).copy()
-    lower = mask[:len(arr)]
-    arr[lower] |= 0x20
-    return arr.tobytes().decode()
+def _batch_from_codes(code_slices, L: int):
+    """Padded (B, L) uint8 batch + lengths from encoded code slices — the
+    columnar replacement for encode-from-string batching."""
+    batch = np.full((len(code_slices), L), 4, dtype=np.uint8)
+    lens = np.zeros(len(code_slices), dtype=np.int32)
+    for i, c in enumerate(code_slices):
+        c = c[:L]
+        batch[i, :len(c)] = c
+        lens[i] = len(c)
+    return batch, lens
 
 
 def _concatemer_windows(length: int, cfg, overlap: int):
@@ -91,21 +96,26 @@ def _mask_gate_packed(seq, lens, cfg):
     return _pack_mask_device(m), g
 
 
-def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
+def filter_junk_records(reads, panel: PrimerPanel,
                         config: PipelineConfig, backend: str | None = None):
-    """Classify records. Returns (keep_flags, masks, counters)."""
+    """Classify reads (a FastxArrays, or a list of FastxRecord which is
+    columnarized first).  Returns (keep_flags, masks, junk, short, concat,
+    counters)."""
+    if isinstance(reads, list):
+        reads = records_to_arrays(reads)
     cfg = config.junk
     counters = Counter(total_kept=0, total_dropped=0, junk_seqs_dropped=0,
                        short_seqs_dropped=0, concatemers_dropped=0)
-    n = len(records)
+    n = reads.n
+    rlens = reads.lengths()
     keep = np.ones(n, dtype=bool)
     junk = np.zeros(n, dtype=bool)
     masks = [None] * n
 
     # ---- repeat masking + block scoring, bucketed by length ------------
     buckets: dict[int, list[int]] = {}
-    for i, rec in enumerate(records):
-        L = bucket_length(len(rec.sequence), config.batch.length_buckets)
+    for i in range(n):
+        L = bucket_length(int(rlens[i]), config.batch.length_buckets)
         buckets.setdefault(L, []).append(i)
 
     # Dispatch every batch, then fetch ALL results in two transfers (masks
@@ -122,10 +132,10 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
         step = max(1, min(config.batch.batch_size, (1 << 21) // L))
         for off in range(0, len(idxs), step):
             part = idxs[off:off + step]
-            seqs = [records[i].sequence for i in part]
+            slices = [reads.seq_codes(i) for i in part]
             # fixed batch shape (step rows) so the HMM compiles once
-            seqs = seqs + [''] * (step - len(part))
-            seq, lens = batch_encode(seqs, L)
+            slices += [np.zeros(0, np.uint8)] * (step - len(part))
+            seq, lens = _batch_from_codes(slices, L)
             mp, g = dispatch.dp_call(_mask_gate_packed, (seq, lens),
                                      statics=(cfg,))
             mask_pending.append((part, L, mp, g))
@@ -154,8 +164,7 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
     if gated.size:
         gbuckets: dict[int, list[int]] = {}
         for i in gated:
-            L = bucket_length(len(records[i].sequence),
-                              config.batch.length_buckets)
+            L = bucket_length(int(rlens[i]), config.batch.length_buckets)
             gbuckets.setdefault(L, []).append(int(i))
         rep_pending = []    # (part, junk dev)
         for L, idxs in sorted(gbuckets.items()):
@@ -167,9 +176,9 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
                 while step < len(part):
                     step *= 2
                 step = min(step, cap)
-                seqs = [records[i].sequence for i in part]
-                seqs = seqs + [''] * (step - len(part))
-                seq, lens = batch_encode(seqs, L)
+                slices = [reads.seq_codes(i) for i in part]
+                slices += [np.zeros(0, np.uint8)] * (step - len(part))
+                seq, lens = _batch_from_codes(slices, L)
                 m = np.zeros((step, L), dtype=bool)
                 for bi, i in enumerate(part):
                     m[bi, :len(masks[i])] = masks[i]
@@ -208,10 +217,10 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
 
     win_rows = []      # (read_idx, window_start, window_end, qrow_idx)
     short = np.zeros(n, dtype=bool)
-    for i, rec in enumerate(records):
+    for i in range(n):
         if junk[i]:
             continue
-        L = len(rec.sequence)
+        L = int(rlens[i])
         if L < cfg.min_read_length or L - 2 * cfg.end_trim <= 0:
             short[i] = True
             continue
@@ -225,7 +234,6 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
         WT = bucket_length(wlen, (512, 1024, 1536, 2048, 3072, 4096,
                                   6144, 8192,
                                   cfg.chunk_size + 2 * overlap + 64))
-        enc_cache: dict[int, np.ndarray] = {}
         CHUNK = 8192     # fixed-shape chunks: stable compiled shapes
         pending = []
         for off in range(0, len(win_rows), CHUNK):
@@ -235,10 +243,8 @@ def filter_junk_records(records: list[FastxRecord], panel: PrimerPanel,
             t = np.full((NW, WT), 4, dtype=np.uint8)
             tlens = np.zeros(NW, dtype=np.int32)
             for r, (i, s, e, qi) in enumerate(rows):
-                if i not in enc_cache:
-                    enc_cache[i] = encode(records[i].sequence)
-                interior = enc_cache[i][
-                    cfg.end_trim:len(records[i].sequence) - cfg.end_trim]
+                interior = reads.seq_codes(i)[
+                    cfg.end_trim:int(rlens[i]) - cfg.end_trim]
                 w = interior[s:e]
                 t[r, :len(w)] = w
                 tlens[r] = len(w)
@@ -282,39 +288,47 @@ def run_file(path: str, panel: PrimerPanel, config: PipelineConfig,
     ``{out}/{name}.{uuid}.filtered_junk.fq`` (+ ``.junk.fq`` if keep_temp),
     mirroring the reference worker's file contract
     (filter_junk_from_fq.py:213-216).  When ``out_box`` is given it
-    receives {'path': out_path, 'records': kept masked records} so the
+    receives {'path': out_path, 'reads': kept masked FastxArrays} so the
     primer stage can skip re-parsing the intermediate file (the file is
     still written — it is the resume/inspection contract)."""
-    records = list(read_fastx(path))
+    reads = read_reads(path)
     keep, masks, junk, short, concat, counters = filter_junk_records(
-        records, panel, config, backend)
+        reads, panel, config, backend)
     temp_name = str(uuid.uuid4())
     out_path = os.path.join(config.out,
                             f'{config.name}.{temp_name}.filtered_junk.fq')
     junk_path = os.path.join(config.out, f'{config.name}.{temp_name}.junk.fq')
-    kept_records = []
-    with open(out_path, 'w') as out, open(junk_path, 'w') as junkf:
-        for i, rec in enumerate(records):
-            seq = _mask_to_fasta_seq(rec.sequence, masks[i])
-            name = rec.name
-            if not keep[i] and config.keep_temp:
-                if junk[i]:
-                    name += '_junk'
-                elif short[i]:
-                    name += '_short'
-                elif concat[i]:
-                    name += '_concatemer'
-            fa = FastxRecord(name=name, sequence=seq, quality=None,
-                             comment=rec.comment)
+    kept_idx = []
+    with open(out_path, 'w', buffering=1 << 20) as out, \
+         open(junk_path, 'w') as junkf:
+        for i in range(reads.n):
+            # the reference writes tantan's FASTA records: qualities are
+            # dropped, repeats lowercase (filter_junk_from_fq.py:170-172)
+            seq = reads.seq_str(i, lower=masks[i])
+            name = reads.name(i)
+            comment = reads.comment(i)
+            head = name if not comment else f'{name} {comment}'
             if keep[i]:
-                out.write(str(fa) + '\n')
-                if out_box is not None:
-                    kept_records.append(fa)
+                out.write(f'>{head}\n{seq}\n')
+                kept_idx.append(i)
             elif config.keep_temp:
-                junkf.write(str(fa) + '\n')
+                if junk[i]:
+                    suffix = '_junk'
+                elif short[i]:
+                    suffix = '_short'
+                else:
+                    suffix = '_concatemer'
+                head = (f'{name}{suffix}' if not comment
+                        else f'{name}{suffix} {comment}')
+                junkf.write(f'>{head}\n{seq}\n')
     if out_box is not None:
+        kept = reads.subset(
+            kept_idx,
+            lower_override=[np.asarray(masks[i], np.uint8)
+                            for i in kept_idx])
+        kept._quals = b''       # the handoff mirrors the FASTA file
         out_box['path'] = out_path
-        out_box['records'] = kept_records
+        out_box['reads'] = kept
     if not config.keep_temp:
         os.remove(junk_path)
     return dict(counters)

@@ -42,7 +42,7 @@ import numpy as np
 from fslr_tpu import instrument
 from fslr_tpu.config import PipelineConfig
 from fslr_tpu.encode import encode, revcomp
-from fslr_tpu.io.fastq import FastxRecord, read_fastx
+from fslr_tpu.io.fastq import FastxRecord, read_reads, records_to_arrays
 from fslr_tpu.ops import ssw
 from fslr_tpu.panel import PrimerPanel
 from fslr_tpu.parallel import dispatch
@@ -54,24 +54,24 @@ _SW_KEYS = ('score', 'target_begin', 'target_end')
 _SW_CHUNK = 8192
 
 
-def _dispatch_side(records, targets, window, scoring, side: str,
+def _dispatch_side(reads, targets, window, scoring, side: str,
                    backend=None):
     """Dispatch SW of every (primer target, orientation) against one window
     side of every read, in fixed-shape chunks (a single n*m-row call
     compiled a fresh kernel per dataset size).  Returns (device chunks,
     n, m); fetch with _fetch_sides."""
     import jax.numpy as jnp
-    n = len(records)
+    n = reads.n
     m = len(targets)
     NW = n * m
     q = np.full((NW, 128), 4, dtype=np.uint8)
     t = np.full((NW, 512), 4, dtype=np.uint8)
     qlens = np.zeros(NW, dtype=np.int32)
     tlens = np.zeros(NW, dtype=np.int32)
-    for i, rec in enumerate(records):
-        L = len(rec.sequence)
+    for i in range(n):
+        codes = reads.seq_codes(i)
+        L = len(codes)
         space = min(L // 2, window)
-        codes = encode(rec.sequence)
         w = codes[:space] if side == 'start' else codes[L - space:]
         for j, tc in enumerate(targets):
             r = i * m + j
@@ -129,9 +129,24 @@ def _fetch_sides(dispatched):
     return res
 
 
-def label_and_chop(records: list[FastxRecord], panel: PrimerPanel,
+_DEC_TABLE = np.frombuffer(b'ACGTN', dtype=np.uint8)
+
+
+def _to_str(codes: np.ndarray, lower: np.ndarray | None) -> str:
+    raw = _DEC_TABLE[codes]
+    if lower is not None and len(lower) and lower.any():
+        raw = raw | (lower[:len(raw)].astype(np.uint8) << 5)
+    return raw.tobytes().decode('ascii')
+
+
+def label_and_chop(reads, panel: PrimerPanel,
                    config: PipelineConfig, backend: str | None = None):
-    """Returns (labelled_records, has_primer_flags, counters)."""
+    """Returns (labelled_records, has_primer_flags, counters).  ``reads``
+    is a columnar FastxArrays (or a list of FastxRecord, columnarized
+    first); output records are materialized strings since they go straight
+    to the output files."""
+    if isinstance(reads, list):
+        reads = records_to_arrays(reads)
     cfg = config.primer
     names = list(panel.names)
     # distinct (primer, orientation) targets, panel order, F then R per name
@@ -148,12 +163,12 @@ def label_and_chop(records: list[FastxRecord], panel: PrimerPanel,
     counters['trimmed_bases'] = 0
     counters['trimmed_reads'] = 0
 
-    if not records:
+    if reads.n == 0:
         return [], np.zeros(0, bool), counters
 
-    d1 = _dispatch_side(records, tcodes, cfg.search_window, config.scoring,
+    d1 = _dispatch_side(reads, tcodes, cfg.search_window, config.scoring,
                         'start', backend)
-    d2 = _dispatch_side(records, tcodes, cfg.search_window, config.scoring,
+    d2 = _dispatch_side(reads, tcodes, cfg.search_window, config.scoring,
                         'end', backend)
     a1, a2 = _fetch_sides([d1, d2])
 
@@ -177,8 +192,8 @@ def label_and_chop(records: list[FastxRecord], panel: PrimerPanel,
     best = sums.shape[1] - 1 - np.argmax(sums[:, ::-1], axis=1)
 
     out_records = []
-    has_primer = np.zeros(len(records), dtype=bool)
-    for i, rec in enumerate(records):
+    has_primer = np.zeros(reads.n, dtype=bool)
+    for i in range(reads.n):
         b = int(best[i])
         t1, t2, k1, k2, st1, st2 = pair_defs[b]
         sc1 = float(a1['score'][i, t1]) / float(max_score[t1])
@@ -186,16 +201,19 @@ def label_and_chop(records: list[FastxRecord], panel: PrimerPanel,
         name1 = 'False' if sc1 < cfg.trim_threshold else k1 + st1
         name2 = 'False' if sc2 < cfg.trim_threshold else k2 + st2
         r1, r2 = round(sc1, 2), round(sc2, 2)
-        L = len(rec.sequence)
+        codes = reads.seq_codes(i)
+        lower = reads.lower_mask(i)
+        L = len(codes)
         counters['starting_bases'] += L
-        seq, qual = rec.sequence, rec.quality
+        qual = reads.qual(i)
         trimmed = 0
         if not (name1 == 'False' and name2 == 'False'):
             p2_space = min(L // 2, cfg.search_window)
             tb = int(a1['target_begin'][i, t1])
             te = L - p2_space + int(a2['target_end'][i, t2])
             trimmed = tb + (L - te)
-            seq = seq[tb:te]
+            codes = codes[tb:te]
+            lower = lower[tb:te]
             if qual:
                 qual = qual[tb:te]
             has_primer[i] = True
@@ -203,26 +221,29 @@ def label_and_chop(records: list[FastxRecord], panel: PrimerPanel,
         if trimmed > 0:
             counters['trimmed_reads'] += 1
         counters[f'{name1}_{name2}'] += 1
-        new_name = f'{rec.name}.{r1}_{r2}.{name1}_{name2}'
-        out_records.append(FastxRecord(name=new_name, sequence=seq,
-                                       quality=qual, comment=rec.comment))
+        new_name = f'{reads.name(i)}.{r1}_{r2}.{name1}_{name2}'
+        out_records.append(FastxRecord(name=new_name,
+                                       sequence=_to_str(codes, lower),
+                                       quality=qual,
+                                       comment=reads.comment(i)))
     return out_records, has_primer, counters
 
 
 def run_file(path: str, panel: PrimerPanel, config: PipelineConfig,
              backend: str | None = None,
-             records: list[FastxRecord] | None = None) -> dict:
+             records=None) -> dict:
     """Process one ``.filtered_junk.fq`` file, writing
     ``{basename}.primers_labelled.fq`` and ``{basename}.no_primers.fq``
     (reference find_reads_with_primers.py:99-113,120-133).  ``records``
-    short-circuits re-parsing when the caller already holds the file's
-    records (filter_junk.run_file out_box handoff)."""
+    (a FastxArrays or a record list) short-circuits re-parsing when the
+    caller already holds the file's reads (filter_junk.run_file out_box
+    handoff)."""
     if 'filtered_junk' in path:
         basename = path.replace('.filtered_junk.fq', '')
     else:
         basename = path.replace('.fa', '')
     if records is None:
-        records = list(read_fastx(path))
+        records = read_reads(path)
     out_records, has_primer, counters = label_and_chop(
         records, panel, config, backend)
     with open(f'{basename}.primers_labelled.fq', 'w') as out, \

@@ -45,6 +45,41 @@ def test_native_fasta_gz(tmp_path):
     np.testing.assert_array_equal(fa.seq_codes(1), [4, 4, 4, 0])
 
 
+def test_read_reads_default_matches_fallback(tmp_path, monkeypatch):
+    """read_reads (the stages' default columnar path — native parser when
+    buildable) must agree with the pure-Python fallback byte-for-byte."""
+    p = tmp_path / 'x.fastq'
+    p.write_text('@r1 c1\nACGTNacgtXx\n+\nIIIIIIIIIII\n'
+                 '@r2\nGGGGTT\n+\nJJJJJJ\n')
+    fa = fastq.read_reads(str(p))
+    monkeypatch.setenv('FSLR_NO_NATIVE', '1')
+    fb = fastq.read_reads(str(p))
+    assert fa.n == fb.n == 2
+    for i in range(2):
+        np.testing.assert_array_equal(fa.seq_codes(i), fb.seq_codes(i))
+        np.testing.assert_array_equal(
+            np.asarray(fa.lower_mask(i), bool),
+            np.asarray(fb.lower_mask(i), bool))
+        assert fa.name(i) == fb.name(i)
+        assert fa.qual(i) == fb.qual(i)
+        assert fa.comment(i) == fb.comment(i)
+        assert fa.seq_str(i) == fb.seq_str(i)
+
+
+def test_subset_and_lower_override(tmp_path):
+    p = tmp_path / 'y.fastq'
+    p.write_text('@a\nACGTACGT\n+\nIIIIIIII\n@b\nTTTT\n+\nJJJJ\n'
+                 '@c\nGGCC\n+\nKKKK\n')
+    fa = fastq.read_reads(str(p))
+    mask = np.array([0, 0, 1, 1], np.uint8)
+    sub = fa.subset([2, 0], lower_override=[mask,
+                                            np.zeros(8, np.uint8)])
+    assert sub.n == 2
+    assert sub.name(0) == 'c' and sub.name(1) == 'a'
+    assert sub.seq_str(0) == 'GGcc'
+    assert sub.qual(0) == 'KKKK' and sub.qual(1) == 'IIIIIIII'
+
+
 def test_native_large_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     p = tmp_path / 'big.fastq'
