@@ -29,7 +29,7 @@ N_READS_CPU = 100      # the CPU baseline is measured on a smaller sample
 REF_MB = 2_000_000
 
 
-def make_dataset(root, n_reads=N_READS):
+def make_dataset(root, n_reads=N_READS, n_groups=20):
     import numpy as np
 
     from fslr_tpu.encode import decode, revcomp_str
@@ -51,11 +51,13 @@ def make_dataset(root, n_reads=N_READS):
     fq_dir = os.path.join(root, 'reads')
     os.makedirs(fq_dir, exist_ok=True)
     path = os.path.join(fq_dir, 'b0.fastq')
-    n_groups = 20
-    with open(path, 'w') as fh:
+    # span 40k for the historical 20-group configs (round-over-round
+    # comparability); packed tighter only when n_groups needs it
+    span = max(1, min(40_000, (REF_MB - 700_000) // n_groups))
+    with open(path, 'w', buffering=1 << 22) as fh:
         for i in range(n_reads):
             g = i % n_groups
-            bpos = 600_000 + g * 40_000
+            bpos = 600_000 + g * span
             seq = (t21 + sub(chrA, 1_000_000, 800) + sub(chrB, bpos, 1000)
                    + sub(chrA, 1_200_000, 800) + t17rc)
             fh.write(f'@r{i}\n{seq}\n+\n{"I" * len(seq)}\n')
@@ -108,7 +110,39 @@ def measure(tag, n_reads=N_READS, repeats=3):
     }
 
 
+def run_scale(n_reads, n_groups):
+    """One-off scale measurement (configs 4-5): one cold + one warm run at
+    n_reads; prints a JSON line with reads/s + stage split.  Group count
+    keeps recurrent-breakpoint groups at a realistic size (the pair set of
+    a group is quadratic in its size — the reference's own tree walk has
+    the same scaling, fslr/cluster.py:187-227)."""
+    root = tempfile.mkdtemp(prefix='fslr_scale_')
+    t0 = time.time()
+    ref_path, fq_dir = make_dataset(root, n_reads, n_groups)
+    print(json.dumps({'dataset_s': round(time.time() - t0, 1)}),
+          file=sys.stderr)
+    dt, stages, cells = run_once(root, ref_path, fq_dir, 'scale')
+    print(json.dumps({
+        'metric': f'end-to-end pipeline reads/s ({n_reads} synthetic '
+                  f'fusion reads, {n_groups} breakpoint groups; TPU chip, '
+                  f'single warm-cache run)',
+        'value': round(n_reads / dt, 2),
+        'unit': 'reads/s',
+        'wall_s': round(dt, 1),
+        'stage_s': {k: round(v, 2) for k, v in sorted(
+            stages.items(), key=lambda x: -x[1])},
+        'dp_cells': cells,
+    }))
+
+
 def main():
+    if '--scale' in sys.argv:
+        i = sys.argv.index('--scale')
+        n = int(sys.argv[i + 1])
+        g = (int(sys.argv[sys.argv.index('--groups') + 1])
+             if '--groups' in sys.argv else max(20, n // 500))
+        run_scale(n, g)
+        return
     if '--cpu-baseline' in sys.argv:
         import jax
         jax.config.update('jax_platforms', 'cpu')

@@ -140,6 +140,11 @@ class ClusterConfig:
     # per-slice uniques accumulate on device and re-dedup when this many
     # are held (bounds the incremental-merge sort size)
     enum_merge_cap: int = 96 * 1024 * 1024
+    # encounter streams above this spill pair state to host RAM and
+    # process pk-range buckets on device (ops/encounters.py spill path):
+    # one device array cannot exceed 2 GiB on TPU, and sort transients
+    # exhaust HBM well before that
+    enum_spill_min_encounters: int = 1 << 27
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,6 +173,13 @@ class BatchConfig:
                                      4096, 6144, 8192, 12288, 16384,
                                      24576, 32768)
     batch_size: int = 512
+
+    # Streamed alignment: the pipeline aligns labelled reads in chunks of
+    # this many, encoding BAM records and mapping-table rows per chunk so
+    # peak host memory is bounded by the chunk (configs 4-5, 1M-10M
+    # reads), not the dataset.  Artifacts are byte-identical to an
+    # unchunked run (tests/test_pipeline.py).
+    align_stream_reads: int = 65536
 
 
 @dataclasses.dataclass(frozen=True)

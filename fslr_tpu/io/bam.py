@@ -154,18 +154,37 @@ def encode_record(r: BamRecord) -> bytes:
     return struct.pack('<I', len(body)) + body
 
 
+def encode_item(r: BamRecord) -> tuple[int, int, int, bytes]:
+    """(ref_id, pos, ref_end, payload) — the compact pre-encoded form the
+    streamed pipeline accumulates per chunk (a few hundred bytes/record
+    instead of a BamRecord of Python strings)."""
+    return (r.ref_id, r.pos, r.pos + max(r.reference_span(), 1),
+            encode_record(r))
+
+
 def write_bam(path: str, names: list[str], lengths, records,
               sort_by_coord: bool = True, write_index: bool = False):
     """Write a coordinate-sorted BAM; with ``write_index``, also emit the
     standard ``{path}.bai`` (samtools-index parity: the reference pipeline
     runs ``samtools index`` after sorting, main.py:140,167)."""
+    write_bam_items(path, names, lengths,
+                    (encode_item(r) for r in records),
+                    sort_by_coord=sort_by_coord, write_index=write_index)
+
+
+def write_bam_items(path: str, names: list[str], lengths, items,
+                    sort_by_coord: bool = True,
+                    write_index: bool = False):
+    """Write pre-encoded ``(ref_id, pos, ref_end, payload)`` items.
+    The coordinate sort is a stable key-sort, so items given in the same
+    order as ``write_bam``'s records produce a byte-identical file."""
     header_text = ''.join(
         f'@SQ\tSN:{n}\tLN:{int(l)}\n' for n, l in zip(names, lengths))
     header_text = '@HD\tVN:1.6\tSO:coordinate\n' + header_text \
         + '@PG\tID:fslr-tpu\tPN:fslr-tpu\n'
+    items = list(items)
     if sort_by_coord:
-        records = sorted(records, key=lambda r: (
-            r.ref_id if r.ref_id >= 0 else 1 << 30, r.pos))
+        items.sort(key=lambda t: (t[0] if t[0] >= 0 else 1 << 30, t[1]))
     w = BgzfWriter(path)
     ht = header_text.encode()
     w.write(b'BAM\x01' + struct.pack('<i', len(ht)) + ht
@@ -174,12 +193,11 @@ def write_bam(path: str, names: list[str], lengths, records,
         nb = n.encode() + b'\0'
         w.write(struct.pack('<i', len(nb)) + nb + struct.pack('<i', int(l)))
     spans = []
-    for r in records:
+    for ref_id, pos, ref_end, payload in items:
         vstart = w.tell_virtual()
-        w.write(encode_record(r))
+        w.write(payload)
         if write_index:
-            spans.append((r.ref_id, r.pos,
-                          r.pos + max(r.reference_span(), 1), vstart,
+            spans.append((ref_id, pos, ref_end, vstart,
                           w.tell_virtual()))
     w.close()
     if write_index:
@@ -382,30 +400,56 @@ def _decode_records_between(data: bytes, vstart: int, vend: int):
     return out
 
 
-def read_bam(path: str):
-    """Returns (names, lengths, records iterator materialized as list)."""
-    with gzip.open(path, 'rb') as fh:
-        data = fh.read()
-    if data[:4] != b'BAM\x01':
+def _read_exact(fh, n: int) -> bytes:
+    b = fh.read(n)
+    while len(b) < n:
+        more = fh.read(n - len(b))
+        if not more:
+            break
+        b += more
+    return b
+
+
+def open_bam(path: str):
+    """Block-wise BAM open: returns (names, lengths, record generator).
+
+    Decompression is streamed through gzip's incremental reader, so peak
+    memory is one record, not the whole decompressed file (the round-1
+    read_bam loaded everything; configs 4-5 BAMs are GBs)."""
+    fh = gzip.open(path, 'rb')
+    magic = _read_exact(fh, 4)
+    if magic != b'BAM\x01':
+        fh.close()
         raise ValueError(f'{path}: not BAM')
-    off = 4
-    l_text, = struct.unpack_from('<i', data, off); off += 4
-    off += l_text
-    n_ref, = struct.unpack_from('<i', data, off); off += 4
+    l_text, = struct.unpack('<i', _read_exact(fh, 4))
+    _read_exact(fh, l_text)
+    n_ref, = struct.unpack('<i', _read_exact(fh, 4))
     names, lengths = [], []
     for _ in range(n_ref):
-        l_name, = struct.unpack_from('<i', data, off); off += 4
-        names.append(data[off:off + l_name - 1].decode()); off += l_name
-        l_ref, = struct.unpack_from('<i', data, off); off += 4
-        lengths.append(l_ref)
-    records = []
-    n = len(data)
-    while off < n:
-        block_size, = struct.unpack_from('<I', data, off); off += 4
-        end = off + block_size
-        records.append(_decode_record(data, off, end))
-        off = end
-    return names, lengths, records
+        l_name, = struct.unpack('<i', _read_exact(fh, 4))
+        nb = _read_exact(fh, l_name)
+        names.append(nb[:-1].decode())
+        lengths.append(struct.unpack('<i', _read_exact(fh, 4))[0])
+
+    def _records():
+        try:
+            while True:
+                szb = _read_exact(fh, 4)
+                if len(szb) < 4:
+                    break
+                block_size, = struct.unpack('<I', szb)
+                body = _read_exact(fh, block_size)
+                yield _decode_record(body, 0, block_size)
+        finally:
+            fh.close()
+
+    return names, lengths, _records()
+
+
+def read_bam(path: str):
+    """Returns (names, lengths, list of records)."""
+    names, lengths, it = open_bam(path)
+    return names, lengths, list(it)
 
 
 def _decode_record(data, off: int, end: int) -> BamRecord:

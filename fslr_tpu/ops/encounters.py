@@ -88,6 +88,17 @@ _SK_FLAG = 1 << 30
 _SK_BIG = np.int32(2**31 - 1)
 
 
+def _scatter_compact(jnp, pk_s, sk_s, first, N):
+    """Compact the flagged (pk-sorted) entries to the front, BIG-filled
+    tail — a scatter replaces the former 3-operand stable sort (the sort's
+    operand copies were the HBM peak of the whole build)."""
+    pos = jnp.cumsum(first.astype(jnp.int32)) - 1
+    idx = jnp.where(first, pos, jnp.int32(N))
+    pk_u = jnp.full(N, BIG, jnp.int64).at[idx].set(pk_s, mode='drop')
+    sk_u = jnp.full(N, _SK_BIG, jnp.int32).at[idx].set(sk_s, mode='drop')
+    return pk_u, sk_u
+
+
 @functools.lru_cache(maxsize=None)
 def _enum_reduce_fn(T: int):
     import jax
@@ -125,30 +136,35 @@ def _enum_reduce_fn(T: int):
             [jnp.ones(1, bool), pk_s[1:] != pk_s[:-1]])
         first &= pk_s != jnp.int64(BIG)
         cnt = jnp.sum(first)
-        # compact: stable sort by ~first keeps uniques (pair-sorted) first
-        key = jnp.where(first, jnp.int32(0), jnp.int32(1))
-        _, pk_u, sk_u = jax.lax.sort((key, pk_s, sk_s), num_keys=1,
-                                     is_stable=True)
+        pk_u, sk_u = _scatter_compact(jnp, pk_s, sk_s, first, T)
         return pk_u, sk_u, cnt
 
     return fn
 
 
 @functools.lru_cache(maxsize=None)
-def _dedup_fn(N: int):
+def _merge_fn(sizes: tuple):
+    """Merge pk-sorted arrays of the given lengths (the accumulator first,
+    then slice parts) into one deduped pk-sorted array; callers drop their
+    input references right after the call so the previous accumulator and
+    drained parts free as soon as the computation consumes them."""
     import jax
     import jax.numpy as jnp
 
-    @_jit()
-    def fn(pk, sk):
+    k = len(sizes)
+    N = sum(sizes)
+
+    # no donate: outputs (N = sum sizes) cannot alias the smaller inputs
+    @jax.jit
+    def fn(*arrs):
+        pk = jnp.concatenate([arrs[2 * i] for i in range(k)])
+        sk = jnp.concatenate([arrs[2 * i + 1] for i in range(k)])
         pk_s, sk_s = jax.lax.sort((pk, sk), num_keys=2)
         first = jnp.concatenate(
             [jnp.ones(1, bool), pk_s[1:] != pk_s[:-1]])
         first &= pk_s != jnp.int64(BIG)
         cnt = jnp.sum(first)
-        key = jnp.where(first, jnp.int32(0), jnp.int32(1))
-        _, pk_u, sk_u = jax.lax.sort((key, pk_s, sk_s), num_keys=1,
-                                     is_stable=True)
+        pk_u, sk_u = _scatter_compact(jnp, pk_s, sk_s, first, N)
         return pk_u, sk_u, cnt
 
     return fn
@@ -197,18 +213,45 @@ def _gate_fn(N: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _border_index_fn(N: int):
+def _gate_compact_fn(N: int):
+    """Spill path: turn a bucket's gated pair state into compacted
+    (traversal key, other read) columns.  pk/sk are DONATED (tv aliases
+    pk's int64 buffer)."""
     import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def fn(pk, sk, gate, R, trav_scale):
+        a, b, rest = _split_pair(jnp, pk, sk, R)
+        tv = a * trav_scale + rest.astype(jnp.int64)
+        eo = jnp.clip(b, 0, R - 1).astype(jnp.int32)
+        pos = jnp.cumsum(gate.astype(jnp.int32)) - 1
+        idx = jnp.where(gate, pos, jnp.int32(N))
+        tv_c = jnp.full(N, BIG, jnp.int64).at[idx].set(tv, mode='drop')
+        eo_c = jnp.zeros(N, jnp.int32).at[idx].set(eo, mode='drop')
+        cnt = jnp.sum(gate)
+        return tv_c, eo_c, cnt
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _border_index_fn(N: int):
     import jax.numpy as jnp
 
     @_jit()
     def fn(border, pk, sk, R):
         a, b, _ = _split_pair(jnp, pk, sk, R)
-        key = jnp.where(border, jnp.int32(0), jnp.int32(1))
-        idx = jnp.arange(N, dtype=jnp.int32)
-        _, idx_s, eq_s, eo_s = jax.lax.sort(
-            (key, idx, a.astype(jnp.int32), b.astype(jnp.int32)),
-            num_keys=1, is_stable=True)
+        # scatter-compact the flagged rows to the front (ascending index,
+        # exactly what the former stable sort produced) — no 4-operand
+        # sort transients
+        pos = jnp.cumsum(border.astype(jnp.int32)) - 1
+        idx = jnp.where(border, pos, jnp.int32(N))
+        iota = jnp.arange(N, dtype=jnp.int32)
+        z = jnp.zeros(N, jnp.int32)
+        idx_s = z.at[idx].set(iota, mode='drop')
+        eq_s = z.at[idx].set(a.astype(jnp.int32), mode='drop')
+        eo_s = z.at[idx].set(b.astype(jnp.int32), mode='drop')
         return idx_s, eq_s, eo_s
 
     return fn
@@ -222,7 +265,7 @@ def _order_fn(N: int, R: int):
     import jax
     import jax.numpy as jnp
 
-    @_jit()
+    @_jit(donate_argnums=(0, 1, 2))
     def fn(pk, sk, gate, max_itv, max_nc, trav_scale):
         big = jnp.int64(BIG)
         a, b, rest = _split_pair(jnp, pk, sk, R)
@@ -315,25 +358,636 @@ class EntrySet:
         return packed[0], packed[1], packed[2]
 
 
+class HostEntrySet:
+    """EntrySet with host-resident arrays (the spill path's result): pair
+    sets too large for device residency (a single >2 GiB buffer breaks
+    the TPU compiler) keep their ordered entries in host RAM; the walk
+    touches ~1% of entries, for which numpy slicing is free."""
+
+    def __init__(self, ei: np.ndarray, eo: np.ndarray, nxt: np.ndarray,
+                 bounds: np.ndarray, E: int):
+        self._ei, self._eo, self._nxt = ei, eo, nxt
+        self.bounds = bounds
+        self.E = E
+
+    def fetch(self, ranges: list[tuple[int, int]]):
+        return [(self._ei[s:t], self._eo[s:t], self._nxt[s:t])
+                for s, t in ranges]
+
+    def fetch_all(self):
+        return self._ei, self._eo, self._nxt
+
+
+def _apply_gate(jnp, pk_fin, sk_fin, N, ql_d, na_d, R_j, qlen_thresh,
+                naln_thresh, qlen2, naln):
+    """Banded float32 gate on device + exact float64 host re-check of the
+    borderline entries (cluster.py:178-183 is float64 host division)."""
+    gate, border, n_border = _gate_fn(N)(
+        pk_fin, sk_fin, ql_d, na_d, R_j, jnp.float32(qlen_thresh),
+        jnp.float32(naln_thresh))
+    nb = int(n_border)
+    if nb:
+        idx_s, eq_b, eo_b = _border_index_fn(N)(border, pk_fin, sk_fin,
+                                                R_j)
+        pk_b = np.asarray(jnp.stack(
+            [idx_s[:nb].astype(jnp.int64), eq_b[:nb].astype(jnp.int64),
+             eo_b[:nb].astype(jnp.int64)]))
+        bi, ba, bb = pk_b[0], pk_b[1], pk_b[2]
+        q1, q2 = qlen2[ba], qlen2[bb]
+        n1, n2 = naln[ba], naln[bb]
+        ok = ((np.minimum(q1, q2) / np.maximum(np.maximum(q1, q2), 1e-12))
+              >= qlen_thresh) | \
+             ((np.minimum(n1, n2) / np.maximum(n1, n2)) >= naln_thresh)
+        # border entries are disjoint from sure_pass, so a plain set works
+        gate = gate.at[jnp.asarray(bi.astype(np.int32))].set(
+            jnp.asarray(ok))
+    del border
+    return gate
+
+
 def build_entries(jobs: list[ChromJob], R: int, max_itv: int, max_nc: int,
                   qlen2: np.ndarray, naln: np.ndarray, qlen_thresh: float,
                   naln_thresh: float, slice_cap: int,
-                  merge_cap: int = 96 * 1024 * 1024) -> EntrySet:
+                  merge_cap: int = 96 * 1024 * 1024,
+                  spill_min_encounters: int = 1 << 27):
     """Full device pipeline: enumerate -> per-pair min -> gate -> order.
 
     qlen_thresh/naln_thresh are the float64 host values ``1 - qlen_diff``
     and ``1 - n_alignment_diff``; borderline float32 ratios are re-checked
     exactly on host.
 
+    Encounter streams above ``spill_min_encounters`` use the SPILL path:
+    pair state is partitioned into pk-range buckets, each bucket deduped
+    and gated on device with bounded arrays, and accumulated in host RAM
+    (a pair set of hundreds of millions cannot be one device array — a
+    single buffer over 2 GiB breaks the TPU compiler, and the sort
+    transients exceed HBM well before that).  Both paths produce
+    identical entry sets (tests/test_cluster.py).
+
     The whole build runs under the scoped ``jax.enable_x64()`` context —
     pair and traversal keys genuinely need 64-bit integers (the flag is
     scoped, so the rest of the engine keeps default 32-bit tracing).
     """
     import jax
+    total_enc = sum(int(j.ccum[-1]) for j in jobs)
     with jax.enable_x64():
+        if total_enc > spill_min_encounters:
+            try:
+                return _build_entries_sharded(
+                    jobs, R, max_itv, max_nc, qlen2, naln, qlen_thresh,
+                    naln_thresh, slice_cap)
+            except _ShardOverflow as e:
+                import sys
+                print(f'WARNING: sharded encounter build overflow '
+                      f'({e}); falling back to host-spill path',
+                      file=sys.stderr)
+                return _build_entries_spill(jobs, R, max_itv, max_nc,
+                                            qlen2, naln, qlen_thresh,
+                                            naln_thresh, slice_cap)
         return _build_entries_x64(jobs, R, max_itv, max_nc, qlen2, naln,
                                   qlen_thresh, naln_thresh, slice_cap,
                                   merge_cap)
+
+
+def _enum_job_slices(jnp, job, slice_cap, R_j, mn_j):
+    """Yield (pk_u, sk_u, cnt_dev, T) per slice of one chrom job (shared
+    by the in-HBM and spill paths)."""
+    nc = len(job.starts)
+    total = int(job.ccum[-1])
+    if total == 0:
+        return
+    NCpad = _bucket(nc, tuple(1 << s for s in range(10, 32)))
+    ccum_d = jnp.asarray(np.concatenate(
+        [job.ccum, np.full(NCpad - nc, job.ccum[-1], np.int64)]))
+
+    def pad32(a):
+        return jnp.asarray(np.concatenate(
+            [a.astype(np.int32), np.zeros(NCpad - nc, np.int32)]))
+
+    lo_d, st_d, en_d = pad32(job.lo), pad32(job.starts), pad32(job.ends)
+    rid_d, irk_d = pad32(job.rid), pad32(job.irk)
+    nc_j = jnp.int64(nc)
+    # jobs larger than one slice use the FULL slice bucket for every
+    # slice (including the tail): downstream merge shapes then come from
+    # a tiny fixed set, each compiled once and reused from the persistent
+    # XLA cache — per-merge unique shapes pay a remote compile (~1 min)
+    T = _bucket(min(total, slice_cap))
+    g0 = 0
+    while g0 < total:
+        tot_s = min(total - g0, slice_cap)
+        pk_u, sk_u, cnt = _enum_reduce_fn(T)(
+            ccum_d, lo_d, st_d, en_d, rid_d, irk_d,
+            jnp.int64(g0), jnp.int64(tot_s), nc_j, R_j, mn_j)
+        yield pk_u, sk_u, cnt, T
+        g0 += tot_s
+
+
+# ---------------------------------------------------------------------------
+# Sharded device-resident scale path.
+#
+# A pair set of hundreds of millions cannot live in ONE device array (a
+# single buffer over 2 GiB breaks the TPU compiler, and sort transients
+# exceed HBM well before that) — but it CAN live in B bucket arrays of
+# <= 2^26 entries each.  This path keeps everything on device and moves
+# only search-cut indices over the link (the host-spill fallback below
+# moves the whole pair state twice over a ~10 MB/s tunnel).
+#
+#   phase 1: enumerate slices; split each slice's pk-sorted uniques into
+#            pk-range buckets with fixed-shape dynamic-slice parts;
+#            each bucket merges its parts into a pow2 accumulator
+#            (device sorts, donated buffers);
+#   phase 2: gate each bucket (banded f32 + host borderline), compact to
+#            (traversal key, other read);
+#   phase 3: exchange into query-range buckets (traversal order is
+#            query-major, so per-bucket sorted entries concatenate into
+#            the global traversal order), finalize run-jumps + bounds.
+
+_PART = 1 << 22          # fixed exchange-part shape (4M entries)
+_BUCKET_CAP = 1 << 26    # max entries a bucket accumulator may reach
+
+
+class _ShardOverflow(Exception):
+    """A bucket exceeded _BUCKET_CAP (pathological key skew) — the caller
+    falls back to the host-spill path."""
+
+
+@functools.lru_cache(maxsize=None)
+def _cuts_fn(T: int, B: int):
+    import jax.numpy as jnp
+
+    @_jit()
+    def fn(pk_u, bounds_arr):
+        return jnp.searchsorted(pk_u, bounds_arr)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_fn(T: int):
+    """Pad a (T,) pair state by one part of BIG so every dynamic part
+    slice below stays in range (padded once per slice, not per part)."""
+    import jax.numpy as jnp
+
+    @_jit()
+    def fn(pk_u, sk_u):
+        return (jnp.concatenate([pk_u, jnp.full(_PART, BIG, jnp.int64)]),
+                jnp.concatenate([sk_u,
+                                 jnp.full(_PART, _SK_BIG, jnp.int32)]))
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _slice_part_fn(T: int):
+    """Extract entries [start, start+n) of a padded (T+_PART,) pair state
+    into a fixed (_PART,) shape, BIG-masked beyond n."""
+    import jax
+    import jax.numpy as jnp
+
+    @_jit()
+    def fn(pkp, skp, start, n):
+        pk = jax.lax.dynamic_slice(pkp, (start,), (_PART,))
+        sk = jax.lax.dynamic_slice(skp, (start,), (_PART,))
+        iota = jnp.arange(_PART, dtype=jnp.int32)
+        pk = jnp.where(iota < n, pk, jnp.int64(BIG))
+        sk = jnp.where(iota < n, sk, _SK_BIG)
+        return pk, sk
+
+    return fn
+
+
+class _DevAcc:
+    """Per-bucket device accumulator: fixed-shape parts merge into a
+    pow2-compacted sorted array through donated device sorts."""
+
+    KMAX = 4
+
+    def __init__(self):
+        self.parts: list = []       # (pk(_PART,), sk(_PART,))
+        self.acc = None             # (pk(NA,), sk(NA,))
+        self.cnt = 0
+
+    def add(self, pk, sk):
+        self.parts.append((pk, sk))
+        if len(self.parts) >= self.KMAX:
+            self.merge()
+
+    def merge(self):
+        while self.parts:
+            group = [self.parts.pop(0)
+                     for _ in range(min(self.KMAX, len(self.parts)))]
+            arrs: list = []
+            sizes: list = []
+            if self.acc is not None:
+                arrs += [self.acc[0], self.acc[1]]
+                sizes.append(int(self.acc[0].shape[0]))
+            for pk, sk in group:
+                arrs += [pk, sk]
+                sizes.append(int(pk.shape[0]))
+            pk_m, sk_m, cnt = _merge_fn(tuple(sizes))(*arrs)
+            c = int(cnt)
+            if c > _BUCKET_CAP:
+                raise _ShardOverflow(c)
+            Np = _bucket(max(c, 1))
+            if Np < int(pk_m.shape[0]):
+                pk_m, sk_m = pk_m[:Np], sk_m[:Np]
+            self.acc = (pk_m, sk_m)
+            self.cnt = c
+
+
+@functools.lru_cache(maxsize=None)
+def _sort_tv_fn(N: int):
+    import jax
+
+    @_jit(donate_argnums=(0, 1))
+    def fn(tv, eo):
+        return jax.lax.sort((tv, eo), num_keys=2)
+
+    return fn
+
+
+class ShardedEntrySet:
+    """Traversal-ordered entries held as per-query-range device buckets.
+
+    The global entry index space is the concatenation of the buckets;
+    one query's entries always live inside one bucket, so every fetch
+    range maps to exactly one bucket."""
+
+    def __init__(self, buckets, offsets: np.ndarray, bounds: np.ndarray,
+                 E: int, max_itv: int, max_nc: int):
+        # buckets: list of (key_d, eo_d, nxt_local_d) or None
+        self._buckets = buckets
+        self._offsets = offsets      # (len(buckets)+1,) global entry base
+        self.bounds = bounds
+        self.E = E
+        self._mi, self._mn = max_itv, max_nc
+
+    def _bucket_of(self, s: int) -> int:
+        return int(np.searchsorted(self._offsets, s, side='right') - 1)
+
+    def fetch(self, ranges: list[tuple[int, int]]):
+        if not ranges:
+            return []
+        import jax
+        import jax.numpy as jnp
+        by_bucket: dict[int, list[int]] = {}
+        for ri, (s, t) in enumerate(ranges):
+            by_bucket.setdefault(self._bucket_of(s), []).append(ri)
+        out: list = [None] * len(ranges)
+        for bi, ris in by_bucket.items():
+            key_d, eo_d, nxt_d = self._buckets[bi]
+            base = int(self._offsets[bi])
+            starts = np.fromiter((ranges[r][0] - base for r in ris),
+                                 np.int64, len(ris))
+            lens = np.fromiter((ranges[r][1] - ranges[r][0] for r in ris),
+                               np.int64, len(ris))
+            tot = int(lens.sum())
+            offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            idx = (np.arange(tot, dtype=np.int64)
+                   + np.repeat(starts - offs, lens))
+            with jax.enable_x64():
+                packed = np.asarray(_fetch_fn()(
+                    key_d, eo_d, nxt_d, jnp.asarray(idx),
+                    jnp.int64(self._mi), jnp.int64(self._mn)))
+            off = 0
+            for r in ris:
+                n = ranges[r][1] - ranges[r][0]
+                nxt_g = packed[2, off:off + n] + np.int32(base)
+                out[r] = (packed[0, off:off + n],
+                          packed[1, off:off + n], nxt_g)
+                off += n
+        return out
+
+    def fetch_all(self):
+        triples = self.fetch([(int(self._offsets[i]),
+                               int(self._offsets[i]) + self._sizes[i])
+                              for i in range(len(self._buckets))
+                              if self._buckets[i] is not None])
+        ei = np.concatenate([t[0] for t in triples]) if triples else \
+            np.zeros(0, np.int32)
+        eo = np.concatenate([t[1] for t in triples]) if triples else \
+            np.zeros(0, np.int32)
+        nx = np.concatenate([t[2] for t in triples]) if triples else \
+            np.zeros(0, np.int32)
+        return ei, eo, nx
+
+
+def _build_entries_sharded(jobs, R, max_itv, max_nc, qlen2, naln,
+                           qlen_thresh, naln_thresh, slice_cap):
+    """Device-resident bucketed build (raises _ShardOverflow on extreme
+    key skew; the caller falls back to the host-spill path)."""
+    import os
+    import sys
+    import time
+
+    import jax.numpy as jnp
+
+    dbg = bool(os.environ.get('FSLR_ENC_DEBUG'))
+    t_start = time.time()
+
+    def _dbg(msg):
+        if dbg:
+            print(f'[enc-shard] +{time.time() - t_start:6.2f}s {msg}',
+                  file=sys.stderr)
+
+    trav_scale = max_itv * max_nc
+    assert trav_scale * (R + 1) < (1 << 62), 'traversal key overflow'
+    assert trav_scale < _SK_FLAG, \
+        'interval-rank state exceeds 2^30 (caller must use the host path)'
+    R_j = jnp.int64(R)
+    mn_j = jnp.int64(max_nc)
+
+    total_enc = sum(int(j.ccum[-1]) for j in jobs)
+    # pk-range buckets: target <= 2^24 unique entries per bucket so the
+    # accumulator sorts stay small; encounters overcount uniques ~2x
+    B = 1
+    while B < 4096 and total_enc // B > (1 << 25):
+        B *= 2
+    W = (R * R) // B + 1
+    pk_bounds = jnp.asarray(np.arange(1, B, dtype=np.int64) * W)
+    accs = [_DevAcc() for _ in range(B)]
+
+    # ---- phase 1: enumerate + device split into pk buckets -------------
+    for job in jobs:
+        for pk_u, sk_u, cnt, T in _enum_job_slices(jnp, job, slice_cap,
+                                                   R_j, mn_j):
+            c = int(cnt)
+            if c == 0:
+                continue
+            if B == 1:
+                cuts = np.array([0, c], np.int64)
+            else:
+                cuts = np.concatenate(
+                    [[0], np.asarray(_cuts_fn(T, B)(pk_u, pk_bounds)),
+                     [c]])
+                cuts = np.minimum(cuts, c)
+            pkp, skp = _pad_fn(T)(pk_u, sk_u)
+            for b in range(B):
+                lo, hi = int(cuts[b]), int(cuts[b + 1])
+                off = lo
+                while off < hi:
+                    n = min(hi - off, _PART)
+                    pk_p, sk_p = _slice_part_fn(T)(
+                        pkp, skp, jnp.int64(off), jnp.int32(n))
+                    accs[b].add(pk_p, sk_p)
+                    off += n
+            del pkp, skp
+    for a in accs:
+        a.merge()
+    U = sum(a.cnt for a in accs)
+    _dbg(f'phase 1: {B} pk-buckets merged (U={U})')
+    if U == 0:
+        z = np.zeros(0, np.int32)
+        return HostEntrySet(z, z, z, np.zeros(R + 1, np.int64), 0)
+
+    # ---- phase 2: gate + compact to (tv, eo) per pk bucket -------------
+    ql_d = jnp.asarray(qlen2.astype(np.float32))
+    na_d = jnp.asarray(naln.astype(np.float32))
+    tv_buckets: list = []       # (tv_c, eo_c, count) unsorted-in-tv
+    for a in accs:
+        if a.cnt == 0:
+            a.acc = None
+            continue
+        N = int(a.acc[0].shape[0])
+        gate = _apply_gate(jnp, a.acc[0], a.acc[1], N, ql_d, na_d, R_j,
+                           qlen_thresh, naln_thresh, qlen2, naln)
+        tv_c, eo_c, cnt_g = _gate_compact_fn(N)(
+            a.acc[0], a.acc[1], gate, R_j, jnp.int64(trav_scale))
+        a.acc = None
+        g = int(cnt_g)
+        if g:
+            tv_buckets.append((tv_c, eo_c, g))
+    del accs
+    _dbg('phase 2: gated + compacted')
+
+    # ---- phase 3: exchange into query-range buckets, order, finalize --
+    E = sum(g for (_, _, g) in tv_buckets)
+    if E == 0:
+        z = np.zeros(0, np.int32)
+        return HostEntrySet(z, z, z, np.zeros(R + 1, np.int64), 0)
+    B2 = 1
+    while B2 < 4096 and E // B2 > (1 << 25):
+        B2 *= 2
+    qw = (R + B2) // B2            # query ids per ordering bucket
+    tv_bounds = jnp.asarray(
+        np.arange(1, B2, dtype=np.int64) * qw * trav_scale)
+    oaccs = [_DevAcc() for _ in range(B2)]
+    for tv_c, eo_c, g in tv_buckets:
+        N = int(tv_c.shape[0])
+        tv_s, eo_s = _sort_tv_fn(N)(tv_c, eo_c)
+        if B2 == 1:
+            cuts = np.array([0, g], np.int64)
+        else:
+            cuts = np.concatenate(
+                [[0], np.asarray(_cuts_fn(N, B2)(tv_s, tv_bounds)), [g]])
+            cuts = np.minimum(cuts, g)
+        tvp, eop = _pad_fn(N)(tv_s, eo_s)
+        for b in range(B2):
+            lo, hi = int(cuts[b]), int(cuts[b + 1])
+            off = lo
+            while off < hi:
+                n = min(hi - off, _PART)
+                tv_p, eo_p = _slice_part_fn(N)(
+                    tvp, eop, jnp.int64(off), jnp.int32(n))
+                oaccs[b].add(tv_p, eo_p)
+                off += n
+        del tvp, eop
+    tv_buckets.clear()
+    _dbg(f'phase 3: exchanged into {B2} query-buckets')
+
+    buckets: list = []
+    offsets = np.zeros(B2 + 1, np.int64)
+    bounds = np.zeros(R + 1, np.int64)
+    sizes = []
+    base = 0
+    for j, a in enumerate(oaccs):
+        a.merge()
+        offsets[j] = base
+        if a.cnt == 0:
+            buckets.append(None)
+            sizes.append(0)
+            continue
+        key_d, eo_d = a.acc
+        a.acc = None
+        N = int(key_d.shape[0])
+        nxt_d, bounds_local = _order_local_fn(N, R)(
+            key_d, jnp.int64(max_itv), jnp.int64(max_nc),
+            jnp.int64(trav_scale))
+        q_lo = j * qw
+        q_hi = min((j + 1) * qw, R + 1)
+        bl = np.asarray(bounds_local)
+        bounds[q_lo:q_hi] = base + bl[q_lo:q_hi]
+        buckets.append((key_d, eo_d, nxt_d))
+        sizes.append(a.cnt)
+        base += a.cnt
+    offsets[B2] = base
+    bounds[-1] = base
+    # queries past the last populated bucket keep monotone bounds
+    np.maximum.accumulate(bounds, out=bounds)
+    _dbg(f'phase 3: finalized (E={base})')
+    es = ShardedEntrySet(buckets, offsets, bounds, base, max_itv, max_nc)
+    es._sizes = sizes
+    return es
+
+
+@functools.lru_cache(maxsize=None)
+def _order_local_fn(N: int, R: int):
+    """Run-jump + per-query bounds for one tv-sorted ordering bucket.
+    key has BIG beyond the real entries, so eq >= R there and
+    searchsorted keeps them past every query."""
+    import jax
+    import jax.numpy as jnp
+
+    @_jit()
+    def fn(key, max_itv, max_nc, trav_scale):
+        eq_s = key // trav_scale
+        ei_s = (key // max_nc) % max_itv
+        iota = jnp.arange(N, dtype=jnp.int32)
+        flag = jnp.concatenate(
+            [jnp.ones(1, bool),
+             (eq_s[1:] != eq_s[:-1]) | (ei_s[1:] != ei_s[:-1])])
+        m = jnp.where(flag, iota, jnp.int32(N))
+        sfx = jax.lax.cummin(m[::-1])[::-1]
+        nxt = jnp.concatenate([sfx[1:], jnp.full(1, N, jnp.int32)])
+        bounds = jnp.searchsorted(eq_s,
+                                  jnp.arange(R + 1, dtype=jnp.int64))
+        return nxt, bounds
+
+    return fn
+
+
+def _build_entries_spill(jobs, R, max_itv, max_nc, qlen2, naln,
+                         qlen_thresh, naln_thresh,
+                         slice_cap) -> 'HostEntrySet':
+    """Out-of-HBM build: device enumerate/dedup/gate over pk-range
+    buckets, host-RAM accumulation, host traversal sort.  Capacity is
+    bounded by host RAM (billions of pairs), not by HBM."""
+    import os
+    import sys
+    import time
+
+    import jax.numpy as jnp
+
+    dbg = bool(os.environ.get('FSLR_ENC_DEBUG'))
+    t_start = time.time()
+
+    def _dbg(msg):
+        if dbg:
+            print(f'[enc-spill] +{time.time() - t_start:6.2f}s {msg}',
+                  file=sys.stderr)
+
+    trav_scale = max_itv * max_nc
+    assert trav_scale * (R + 1) < (1 << 62), 'traversal key overflow'
+    assert trav_scale < _SK_FLAG, \
+        'interval-rank state exceeds 2^30 (caller must use the host path)'
+    R_j = jnp.int64(R)
+    mn_j = jnp.int64(max_nc)
+
+    total_enc = sum(int(j.ccum[-1]) for j in jobs)
+    # pk-range buckets sized so one bucket's duplicated state stays well
+    # under the 2 GiB single-buffer limit even with 4x skew
+    B = 1
+    while B < 4096 and total_enc // B > (1 << 26):
+        B *= 2
+    W = (R * R) // B + 1
+    bucket_bounds = np.arange(1, B, dtype=np.int64) * W
+    host_pk: list[list] = [[] for _ in range(B)]
+    host_sk: list[list] = [[] for _ in range(B)]
+
+    # ---- phase 1: enumerate slices, spill per-bucket to host ----------
+    for job in jobs:
+        for pk_u, sk_u, cnt, T in _enum_job_slices(jnp, job, slice_cap,
+                                                   R_j, mn_j):
+            c = int(cnt)
+            if c == 0:
+                continue
+            pk_h = np.asarray(pk_u[:c])
+            sk_h = np.asarray(sk_u[:c])
+            cuts = np.concatenate(
+                [[0], np.searchsorted(pk_h, bucket_bounds), [c]])
+            for b in range(B):
+                if cuts[b + 1] > cuts[b]:
+                    host_pk[b].append(pk_h[cuts[b]:cuts[b + 1]])
+                    host_sk[b].append(sk_h[cuts[b]:cuts[b + 1]])
+    _dbg(f'slices spilled to {B} host buckets '
+         f'({sum(len(p) for ps in host_pk for p in ps)} entries)')
+
+    # ---- phase 2: per bucket, device dedup + gate + compact -----------
+    SUB = 1 << 25      # per-upload chunk (256 MB of int64)
+    ql_d = jnp.asarray(qlen2.astype(np.float32))
+    na_d = jnp.asarray(naln.astype(np.float32))
+    tv_parts: list[np.ndarray] = []
+    eo_parts: list[np.ndarray] = []
+    for b in range(B):
+        if not host_pk[b]:
+            continue
+        pk_all = np.concatenate(host_pk[b])
+        sk_all = np.concatenate(host_sk[b])
+        host_pk[b] = host_sk[b] = None
+        n_all = len(pk_all)
+        acc = None
+        acc_cnt = 0
+        for off in range(0, n_all, SUB):
+            chunk_pk = pk_all[off:off + SUB]
+            n = len(chunk_pk)
+            Np = _bucket(n)
+            up_pk = jnp.asarray(np.concatenate(
+                [chunk_pk, np.full(Np - n, BIG, np.int64)]))
+            up_sk = jnp.asarray(np.concatenate(
+                [sk_all[off:off + SUB],
+                 np.full(Np - n, _SK_BIG, np.int32)]))
+            if acc is None:
+                pk_m, sk_m, cnt = _merge_fn((Np,))(up_pk, up_sk)
+            else:
+                pk_m, sk_m, cnt = _merge_fn(
+                    (int(acc[0].shape[0]), Np))(acc[0], acc[1],
+                                                up_pk, up_sk)
+            c = int(cnt)
+            Na = _bucket(max(c, 1))
+            if Na < int(pk_m.shape[0]):
+                pk_m, sk_m = pk_m[:Na], sk_m[:Na]
+            acc = (pk_m, sk_m)
+            acc_cnt = c
+        del pk_all, sk_all
+        if acc_cnt == 0:
+            continue
+        N = int(acc[0].shape[0])
+        gate = _apply_gate(jnp, acc[0], acc[1], N, ql_d, na_d, R_j,
+                           qlen_thresh, naln_thresh, qlen2, naln)
+        tv_c, eo_c, cnt_g = _gate_compact_fn(N)(
+            acc[0], acc[1], gate, R_j, jnp.int64(trav_scale))
+        acc = None
+        g = int(cnt_g)
+        if g:
+            tv_parts.append(np.asarray(tv_c[:g]))
+            eo_parts.append(np.asarray(eo_c[:g]))
+        del tv_c, eo_c, gate
+    _dbg('buckets deduped + gated')
+
+    # ---- phase 3: host traversal order + run-jump + bounds ------------
+    if not tv_parts:
+        z = np.zeros(0, np.int32)
+        return HostEntrySet(z, z, z, np.zeros(R + 1, np.int64), 0)
+    tv_all = np.concatenate(tv_parts)
+    eo_all = np.concatenate(eo_parts)
+    del tv_parts, eo_parts
+    E = len(tv_all)
+    order = np.argsort(tv_all, kind='stable')    # radix; tv is unique
+    key_s = tv_all[order]
+    eo_s = eo_all[order]
+    del tv_all, eo_all, order
+    eq_s = key_s // trav_scale
+    ei_s = ((key_s // max_nc) % max_itv).astype(np.int32)
+    flag = np.ones(E, bool)
+    flag[1:] = (eq_s[1:] != eq_s[:-1]) | (ei_s[1:] != ei_s[:-1])
+    m = np.where(flag, np.arange(E, dtype=np.int64), E)
+    sfx = np.minimum.accumulate(m[::-1])[::-1]
+    nxt = np.concatenate([sfx[1:], [E]]).astype(np.int32)
+    bounds = np.searchsorted(eq_s, np.arange(R + 1,
+                                             dtype=np.int64)).astype(
+        np.int64)
+    _dbg(f'host order done (E={E})')
+    return HostEntrySet(ei_s, eo_s, nxt, bounds, E)
 
 
 def _build_entries_x64(jobs, R, max_itv, max_nc, qlen2, naln, qlen_thresh,
@@ -361,107 +1015,64 @@ def _build_entries_x64(jobs, R, max_itv, max_nc, qlen2, naln, qlen_thresh,
     mn_j = jnp.int64(max_nc)
 
     # ---- phase 1: per-slice enumerate + reduce -------------------------
-    parts: list[tuple] = []      # (pk_dev(T,), tv_dev(T,), cnt_dev)
+    # Slice uniques merge INCREMENTALLY into one deduped pow2-compacted
+    # accumulator through donated merge calls (at most KMAX parts per
+    # merge), so the peak device footprint is accumulator + one merge's
+    # inputs/outputs — there is no giant end-of-phase force-merge.
+    KMAX = 3
+    parts: list[tuple] = []      # (pk_dev(T,), sk_dev(T,), cnt_dev)
     held = 0
-    merged: list[tuple] = []     # [(pk_dev, tv_dev)] compact uniques
+    acc: tuple | None = None     # (pk_dev(NA,), sk_dev(NA,)) BIG-tailed
+    acc_cnt = 0
 
-    def drain_parts():
-        nonlocal held
-        if not parts:
-            return
-        cnts = np.asarray(jnp.stack([c for (_, _, c) in parts]))
-        for (pk_u, tv_u, _), c in zip(parts, cnts):
-            c = int(c)
-            if c:
-                merged.append((pk_u[:c], tv_u[:c]))
-        parts.clear()
+    def merge_parts():
+        nonlocal held, acc, acc_cnt
+        while parts:
+            group = [parts.pop(0) for _ in range(min(KMAX, len(parts)))]
+            arrs = []
+            sizes = []
+            if acc is not None:
+                arrs += [acc[0], acc[1]]
+                sizes.append(int(acc[0].shape[0]))
+            for (pk_u, sk_u, _) in group:
+                arrs += [pk_u, sk_u]
+                sizes.append(int(pk_u.shape[0]))
+            if len(sizes) == 1:
+                # single already-deduped part becomes the accumulator
+                pk_m, sk_m, cnt = group[0]
+            else:
+                pk_m, sk_m, cnt = _merge_fn(tuple(sizes))(*arrs)
+            c = int(cnt)
+            Np = _bucket(max(c, 1))
+            if Np < int(pk_m.shape[0]):
+                pk_m, sk_m = pk_m[:Np], sk_m[:Np]
+            acc = (pk_m, sk_m)
+            acc_cnt = c
         held = 0
-        _maybe_merge()
-
-    def _maybe_merge(force=False):
-        tot = sum(int(p.shape[0]) for p, _ in merged)
-        if len(merged) <= 1 or (not force and tot < merge_cap):
-            return
-        N = _bucket(tot)
-        pk = jnp.concatenate(
-            [p for p, _ in merged]
-            + [jnp.full(N - tot, BIG, jnp.int64)])
-        sk = jnp.concatenate(
-            [s for _, s in merged]
-            + [jnp.full(N - tot, _SK_BIG, jnp.int32)])
-        pk_u, sk_u, cnt = _dedup_fn(N)(pk, sk)
-        del pk, sk
-        c = int(cnt)
-        merged.clear()
-        merged.append((pk_u[:c], sk_u[:c]))
 
     for job in jobs:
-        nc = len(job.starts)
-        total = int(job.ccum[-1])
-        if total == 0:
-            continue
-        NCpad = _bucket(nc, tuple(1 << s for s in range(10, 32)))
-        ccum_d = jnp.asarray(np.concatenate(
-            [job.ccum, np.full(NCpad - nc, job.ccum[-1], np.int64)]))
-        pad32 = lambda a: jnp.asarray(np.concatenate(  # noqa: E731
-            [a.astype(np.int32), np.zeros(NCpad - nc, np.int32)]))
-        lo_d, st_d, en_d = (pad32(job.lo), pad32(job.starts),
-                            pad32(job.ends))
-        rid_d, irk_d = pad32(job.rid), pad32(job.irk)
-        nc_j = jnp.int64(nc)
-        g0 = 0
-        while g0 < total:
-            tot_s = min(total - g0, slice_cap)
-            T = _bucket(tot_s)
-            pk_u, sk_u, cnt = _enum_reduce_fn(T)(
-                ccum_d, lo_d, st_d, en_d, rid_d, irk_d,
-                jnp.int64(g0), jnp.int64(tot_s), nc_j, R_j, mn_j)
+        for pk_u, sk_u, cnt, T in _enum_job_slices(jnp, job, slice_cap,
+                                                   R_j, mn_j):
             parts.append((pk_u, sk_u, cnt))
             held += T
-            if held >= merge_cap:
-                drain_parts()
-            g0 += tot_s
-    drain_parts()
-    _dbg('slices enumerated + drained')
-    _maybe_merge(force=True)
-    _dbg(f'final merge done '
-         f'(U={int(merged[0][0].shape[0]) if merged else 0})')
+            if held >= merge_cap or len(parts) >= KMAX:
+                merge_parts()
+    merge_parts()
+    _dbg(f'slices enumerated + merged (U={acc_cnt})')
 
-    if not merged:
+    if acc is None or acc_cnt == 0:
         return EntrySet(None, None, None, np.zeros(R + 1, np.int64), 0)
-    pk_fin, sk_fin = merged[0]
-    merged.clear()
-    U = int(pk_fin.shape[0])
-    N = _bucket(U)
-    if N != U:
-        pk_fin = jnp.concatenate([pk_fin, jnp.full(N - U, BIG, jnp.int64)])
-        sk_fin = jnp.concatenate(
-            [sk_fin, jnp.full(N - U, _SK_BIG, jnp.int32)])
+    pk_fin, sk_fin = acc
+    acc = None
+    N = int(pk_fin.shape[0])
+    U = acc_cnt
 
     # ---- phase 2: gate (banded f32 + exact host borderline) ------------
     ql_d = jnp.asarray(qlen2.astype(np.float32))
     na_d = jnp.asarray(naln.astype(np.float32))
-    gate, border, n_border = _gate_fn(N)(
-        pk_fin, sk_fin, ql_d, na_d, R_j, jnp.float32(qlen_thresh),
-        jnp.float32(naln_thresh))
-    nb = int(n_border)
-    _dbg(f'gate done (nb={nb})')
-    if nb:
-        idx_s, eq_b, eo_b = _border_index_fn(N)(border, pk_fin, sk_fin,
-                                                R_j)
-        pk_b = np.asarray(jnp.stack(
-            [idx_s[:nb].astype(jnp.int64), eq_b[:nb].astype(jnp.int64),
-             eo_b[:nb].astype(jnp.int64)]))
-        bi, ba, bb = pk_b[0], pk_b[1], pk_b[2]
-        q1, q2 = qlen2[ba], qlen2[bb]
-        n1, n2 = naln[ba], naln[bb]
-        ok = ((np.minimum(q1, q2) / np.maximum(np.maximum(q1, q2), 1e-12))
-              >= qlen_thresh) | \
-             ((np.minimum(n1, n2) / np.maximum(n1, n2)) >= naln_thresh)
-        # border entries are disjoint from sure_pass, so a plain set works
-        gate = gate.at[jnp.asarray(bi.astype(np.int32))].set(
-            jnp.asarray(ok))
-    del border
+    gate = _apply_gate(jnp, pk_fin, sk_fin, N, ql_d, na_d, R_j,
+                       qlen_thresh, naln_thresh, qlen2, naln)
+    _dbg('gate done')
 
     # ---- phase 3: traversal order + run-jump + bounds -------------------
     key_s, eo_s, nxt, bounds_d, E = _order_fn(N, R)(

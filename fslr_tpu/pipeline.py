@@ -34,7 +34,7 @@ from fslr_tpu.config import PipelineConfig
 from fslr_tpu.instrument import StageTimer
 from fslr_tpu.index import reference as refmod
 from fslr_tpu.io import bam as bamio
-from fslr_tpu.io.fastq import glob_input_files, read_fastx
+from fslr_tpu.io.fastq import glob_input_files, read_reads
 from fslr_tpu.panel import load_panel
 from fslr_tpu.stages import (align as align_stage, cluster as cluster_stage,
                              filter_junk, find_primers, mapping_table)
@@ -213,66 +213,81 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None):
                   f'{config.reference_mask}', file=sys.stderr)
             masked = _load_indexed(masked_ref_path, config.align.seed_k)
 
-        qnames, seqs, quals = [], [], []
+        # ---- streamed align loop: chunks of align_stream_reads ---------
+        # Per chunk: align -> encode BAM items (compact bytes) -> chunk
+        # mapping-table frame.  Peak host memory is bounded by the chunk;
+        # the final coordinate key-sort and the final bed sort are stable,
+        # so artifacts are byte-identical to an unchunked run.
         labelled = sorted(glob.glob(f'{basename}.*.primers_labelled.fq'))
-        with timer.stage('read_labelled'):
-            for pth in labelled:
-                for rec in read_fastx(pth):
-                    qnames.append(rec.name)
-                    seqs.append(rec.sequence)
-                    quals.append(rec.quality)
-
-        with timer.stage('align'):
-            aln = align_stage.align_batch(seqs, ref, sidx, config,
-                                          regions_path=config.regions,
-                                          backend=backend, masked=masked)
-
-        # BAM output (io/bam.py; replaces bwa|dodi|samtools pipeline);
-        # exact CIGARs come from the extension traceback walk
-        cigars = aln.cigars if (config.exact_cigars
-                                and aln.cigars is not None) else None
-        records = []
+        CH = config.batch.align_stream_reads
+        bam_items: list = []
+        dfs: list = []
         from fslr_tpu.encode import revcomp_str
-        t_rec = timer.stage('bam_records')
-        t_rec.__enter__()
-        for i in range(len(aln)):
-            ridx = int(aln.read_idx[i])
-            pri = bool(aln.is_primary[i])
-            rev = bool(aln.strand_rev[i])
-            flag = (16 if rev else 0) | (0 if pri else 2048)
-            rspan = int(aln.rend[i]) - int(aln.rstart[i]) + 1
-            core = cigars[i] if cigars is not None else None
-            if core is not None:
-                clip = 'S' if pri else 'H'
-                cig = []
-                if int(aln.qstart_o[i]) > 0:
-                    cig.append((int(aln.qstart_o[i]), clip))
-                cig += core
-                tail = int(aln.qlen[i]) - int(aln.qend_o[i])
-                if tail > 0:
-                    cig.append((tail, clip))
-            else:
-                cig = bamio.approx_cigar(int(aln.qstart_o[i]),
-                                         int(aln.qend_o[i]),
-                                         int(aln.qlen[i]), rspan,
-                                         hard_clips=not pri)
-            seq = ''
-            qual = None
-            if pri:
-                seq = seqs[ridx]
-                qual = quals[ridx]
-                if rev:
-                    seq = revcomp_str(seq)
-                    qual = qual[::-1] if qual else None
-            records.append(bamio.BamRecord(
-                qname=qnames[ridx], flag=flag,
-                ref_id=int(aln.chrom_idx[i]), pos=int(aln.rstart[i]),
-                mapq=int(aln.mapq[i]), cigar=cig, seq=seq, qual=qual,
-                tags={'AS': int(aln.score[i])}))
-        t_rec.__exit__(None, None, None)
+        for pth in labelled:
+            with timer.stage('read_labelled'):
+                fa = read_reads(pth)
+            for off in range(0, fa.n, CH):
+                hi = min(off + CH, fa.n)
+                with timer.stage('read_labelled'):
+                    qnames = [fa.name(i) for i in range(off, hi)]
+                    seqs = [fa.seq_str(i) for i in range(off, hi)]
+                    quals = [fa.qual(i) for i in range(off, hi)]
+                with timer.stage('align'):
+                    aln = align_stage.align_batch(
+                        seqs, ref, sidx, config,
+                        regions_path=config.regions, backend=backend,
+                        masked=masked)
+                # BAM records (replaces bwa|dodi|samtools); exact CIGARs
+                # come from the extension traceback walk
+                cigars = aln.cigars if (config.exact_cigars
+                                        and aln.cigars is not None) else None
+                t_rec = timer.stage('bam_records')
+                t_rec.__enter__()
+                for i in range(len(aln)):
+                    ridx = int(aln.read_idx[i])
+                    pri = bool(aln.is_primary[i])
+                    rev = bool(aln.strand_rev[i])
+                    flag = (16 if rev else 0) | (0 if pri else 2048)
+                    rspan = int(aln.rend[i]) - int(aln.rstart[i]) + 1
+                    core = cigars[i] if cigars is not None else None
+                    if core is not None:
+                        clip = 'S' if pri else 'H'
+                        cig = []
+                        if int(aln.qstart_o[i]) > 0:
+                            cig.append((int(aln.qstart_o[i]), clip))
+                        cig += core
+                        tail = int(aln.qlen[i]) - int(aln.qend_o[i])
+                        if tail > 0:
+                            cig.append((tail, clip))
+                    else:
+                        cig = bamio.approx_cigar(int(aln.qstart_o[i]),
+                                                 int(aln.qend_o[i]),
+                                                 int(aln.qlen[i]), rspan,
+                                                 hard_clips=not pri)
+                    seq = ''
+                    qual = None
+                    if pri:
+                        seq = seqs[ridx]
+                        qual = quals[ridx]
+                        if rev:
+                            seq = revcomp_str(seq)
+                            qual = qual[::-1] if qual else None
+                    bam_items.append(bamio.encode_item(bamio.BamRecord(
+                        qname=qnames[ridx], flag=flag,
+                        ref_id=int(aln.chrom_idx[i]),
+                        pos=int(aln.rstart[i]),
+                        mapq=int(aln.mapq[i]), cigar=cig, seq=seq,
+                        qual=qual, tags={'AS': int(aln.score[i])})))
+                t_rec.__exit__(None, None, None)
+                with timer.stage('mapping_table'):
+                    dfs.append(mapping_table.mapping_table(
+                        aln, qnames, seqs, ref.names, config.regions,
+                        panel.seqs))
+
         with timer.stage('bam_write'):
-            bamio.write_bam(f'{basename}.bwa_dodi.bam', ref.names,
-                            ref.lengths, records, write_index=True)
+            bamio.write_bam_items(f'{basename}.bwa_dodi.bam', ref.names,
+                                  ref.lengths, bam_items, write_index=True)
+        del bam_items
 
         if not config.keep_temp:
             for pth in glob.glob(f'{basename}_temp_ref.fa*'):
@@ -283,8 +298,21 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None):
         assert len(glob.glob(f'{basename}.bwa_dodi.bam')) == 1
 
         with timer.stage('mapping_table'):
-            df = mapping_table.mapping_table(
-                aln, qnames, seqs, ref.names, config.regions, panel.seqs)
+            if len(dfs) == 1:
+                df = dfs[0]
+            elif dfs:
+                # ties in the final keys only occur within one read, and a
+                # read lives in exactly one chunk, so a stable re-sort of
+                # the concatenation reproduces the unchunked order exactly
+                df = pd.concat(dfs, ignore_index=True)
+                df = df.sort_values(
+                    ['n_alignments', 'qname', 'qstart'],
+                    ascending=[False, True, True], kind='stable')
+            else:
+                df = mapping_table.mapping_table(
+                    align_stage.Alignments(
+                        *[np.zeros(0, np.int64)] * 12),
+                    [], [], ref.names, config.regions, panel.seqs)
             mapping_table.write_mappings_bed(df,
                                              f'{basename}.mappings.bed')
 

@@ -540,7 +540,8 @@ def _query_graph_device(jobs, R, max_itv, max_nc, trav_scale, qlen2_arr,
          for (rid, irk, s, e, lo, counts, ccum) in jobs],
         R, max_itv, max_nc, qlen2_arr, naln_arr,
         1.0 - qlen_diff, 1.0 - n_aln_diff, cfg.enum_slice_cap,
-        merge_cap=cfg.enum_merge_cap)
+        merge_cap=cfg.enum_merge_cap,
+        spill_min_encounters=cfg.enum_spill_min_encounters)
     bounds = ents.bounds
     E = ents.E
 

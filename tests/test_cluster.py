@@ -321,3 +321,52 @@ def test_sliced_encounter_enumeration_matches(monkeypatch):
     pd.testing.assert_frame_equal(
         res_big.cluster_bed.reset_index(drop=True),
         res_small.cluster_bed.reset_index(drop=True))
+
+
+@pytest.mark.parametrize('scale_path', ['sharded', 'spill'])
+def test_scale_enumeration_matches_host(scale_path, monkeypatch):
+    """The out-of-HBM scale paths — sharded (device pk/query-range
+    buckets) and host-spill (fallback) — must replay the exact traversal
+    like the host path."""
+    import dataclasses as dc
+
+    from fslr_tpu.ops import encounters as enc
+
+    if scale_path == 'spill':
+        # force the fallback: pretend the sharded build overflowed
+        def _boom(*a, **k):
+            raise enc._ShardOverflow('forced')
+        monkeypatch.setattr(enc, '_build_entries_sharded', _boom)
+
+    rng = np.random.default_rng(17)
+    reads = []
+    for g in range(8):
+        base = 1_000_000 + g * 400_000
+        for i in range(30):
+            jitter = int(rng.integers(0, 100))
+            reads.append(_fusion_read(f'Q{g:02d}_{i:02d}.x', base,
+                                      jitter=jitter))
+    bed = _bed(reads)
+
+    results = {}
+    for tag, kw in (('host', dict(device_enum_min_encounters=1 << 62)),
+                    ('scale', dict(device_enum_min_encounters=1,
+                                   enum_spill_min_encounters=1,
+                                   enum_slice_cap=4096)),
+                    ('device', dict(device_enum_min_encounters=1,
+                                    enum_slice_cap=4096))):
+        cfg = dc.replace(CFG, **kw)
+        b, lens, mask, cmap = C.rename_chromosomes(bed, CHR_LEN, set())
+        data = C.prepare_data(C.keep_fillings(b), set(), lens)
+        results[tag] = C.query_graph(
+            data, cfg.overlap, list(cfg.jaccard_cutoffs),
+            cfg.edge_threshold, cfg.qlen_diff, cfg.n_alignment_diff, cfg)
+    for tag in ('scale', 'device'):
+        assert results['host'][1] == results[tag][1], tag    # edges
+        assert results['host'][2] == results[tag][2], tag    # node order
+        mh = results['host'][0].sort_values(
+            ['query1', 'query2']).reset_index(drop=True)
+        mt = results[tag][0].sort_values(
+            ['query1', 'query2']).reset_index(drop=True)
+        pd.testing.assert_frame_equal(mh, mt)
+    assert len(results['host'][1]) > 20

@@ -248,3 +248,27 @@ def test_pipeline_masked_reference_and_multifile(tmp_path):
 def glob_temp(out):
     import glob as g
     return g.glob(os.path.join(out, '*_temp_ref.fa*'))
+
+
+def test_pipeline_streamed_chunks_byte_identical(workdir):
+    """The streamed align loop (align_stream_reads chunks) must produce
+    byte-identical artifacts to the wide run (config default covers the
+    whole dataset in one chunk)."""
+    import dataclasses
+
+    root, ref_path, fq_dir = workdir
+    out = str(root / 'out')            # artifacts from the wide run
+    out_s = str(root / 'out_stream')
+    config = PipelineConfig(name='T', out=out_s, ref=ref_path,
+                            primers=('21q1', '17p6'), basecalled=fq_dir)
+    config = config.replace(batch=dataclasses.replace(
+        config.batch, align_stream_reads=3))   # 8 kept reads -> 3 chunks
+    run_pipeline(config, backend='jax')
+    for suffix in ('.bwa_dodi.bam', '.mappings.bed',
+                   '.mappings.cluster.bed', '.mappings.representative.bed',
+                   '.filter_counts_summary.csv'):
+        with open(os.path.join(out, 'T' + suffix), 'rb') as fh:
+            wide = fh.read()
+        with open(os.path.join(out_s, 'T' + suffix), 'rb') as fh:
+            streamed = fh.read()
+        assert wide == streamed, f'{suffix} differs between streamed/wide'
