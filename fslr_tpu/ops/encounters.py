@@ -558,14 +558,19 @@ def _slice_part_fn(T: int):
 
 class _DevAcc:
     """Per-bucket device accumulator: fixed-shape parts merge into a
-    pow2-compacted sorted array through donated device sorts."""
+    sorted BIG-tailed array.  Below _TRIM_AT the accumulator stays
+    UNTRIMMED: its sizes are then data-independent, so the whole merge
+    chain dispatches asynchronously — fetching the count to compact it
+    is a host round trip, and round trips dominate over the tunnelled
+    TPU link.  ``finalize()`` trims once at the end."""
 
     KMAX = 4
+    TRIM_AT = 1 << 25
 
     def __init__(self):
         self.parts: list = []       # (pk(_PART,), sk(_PART,))
         self.acc = None             # (pk(NA,), sk(NA,))
-        self.cnt = 0
+        self.cnt = None             # known only after a trim
 
     def add(self, pk, sk):
         self.parts.append((pk, sk))
@@ -585,14 +590,47 @@ class _DevAcc:
                 arrs += [pk, sk]
                 sizes.append(int(pk.shape[0]))
             pk_m, sk_m, cnt = _merge_fn(tuple(sizes))(*arrs)
-            c = int(cnt)
+            N = sum(sizes)
+            if N >= self.TRIM_AT:
+                c = int(cnt)        # sync: compact large accumulators
+                if c > _BUCKET_CAP:
+                    raise _ShardOverflow(c)
+                Np = _bucket(max(c, 1))
+                if Np < N:
+                    pk_m, sk_m = pk_m[:Np], sk_m[:Np]
+                self.cnt = c
+            else:
+                self.cnt = None     # unknown; chain stays async
+            self.acc = (pk_m, sk_m)
+
+    def finalize(self) -> int:
+        """Drain parts and return the exact unique count (one sync).
+        The accumulator is already deduped+compacted by merge(); only
+        the count (and a trim) may be outstanding."""
+        self.merge()
+        if self.acc is None:
+            self.cnt = 0
+        elif self.cnt is None:
+            N = int(self.acc[0].shape[0])
+            c = int(_count_fn(N)(self.acc[0]))
             if c > _BUCKET_CAP:
                 raise _ShardOverflow(c)
             Np = _bucket(max(c, 1))
-            if Np < int(pk_m.shape[0]):
-                pk_m, sk_m = pk_m[:Np], sk_m[:Np]
-            self.acc = (pk_m, sk_m)
+            if Np < N:
+                self.acc = (self.acc[0][:Np], self.acc[1][:Np])
             self.cnt = c
+        return self.cnt
+
+
+@functools.lru_cache(maxsize=None)
+def _count_fn(N: int):
+    import jax.numpy as jnp
+
+    @_jit()
+    def fn(pk):
+        return jnp.sum(pk != jnp.int64(BIG))
+
+    return fn
 
 
 @functools.lru_cache(maxsize=None)
@@ -732,9 +770,7 @@ def _build_entries_sharded(jobs, R, max_itv, max_nc, qlen2, naln,
                     accs[b].add(pk_p, sk_p)
                     off += n
             del pkp, skp
-    for a in accs:
-        a.merge()
-    U = sum(a.cnt for a in accs)
+    U = sum(a.finalize() for a in accs)
     _dbg(f'phase 1: {B} pk-buckets merged (U={U})')
     if U == 0:
         z = np.zeros(0, np.int32)
@@ -801,7 +837,7 @@ def _build_entries_sharded(jobs, R, max_itv, max_nc, qlen2, naln,
     sizes = []
     base = 0
     for j, a in enumerate(oaccs):
-        a.merge()
+        a.finalize()
         offsets[j] = base
         if a.cnt == 0:
             buckets.append(None)
