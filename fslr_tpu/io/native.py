@@ -113,10 +113,19 @@ class FastxArrays:
         idx = list(idx)
         codes_l, lower_l, names_l, quals_l, comments_l = [], [], [], [], []
         for j, i in enumerate(idx):
-            codes_l.append(self.seq_codes(i))
+            c = self.seq_codes(i)
+            codes_l.append(c)
             m = (lower_override[j] if lower_override is not None
                  else self.lower_mask(i))
-            lower_l.append(np.asarray(m, np.uint8))
+            m = np.asarray(m, np.uint8)
+            # lower shares seq_off with codes, so each row's mask MUST be
+            # exactly read-length: overrides computed on padded length
+            # buckets would shift every later row's mask otherwise
+            if len(m) != len(c):
+                mm = np.zeros(len(c), np.uint8)
+                mm[:min(len(m), len(c))] = m[:len(c)]
+                m = mm
+            lower_l.append(m)
             names_l.append(self._names[self.name_off[i]:
                                        self.name_off[i + 1]])
             if len(self._quals):

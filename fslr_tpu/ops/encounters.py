@@ -690,7 +690,9 @@ class ShardedEntrySet:
             off = 0
             for r in ris:
                 n = ranges[r][1] - ranges[r][0]
-                nxt_g = packed[2, off:off + n] + np.int32(base)
+                # bucket-local jumps are small; the global rebase must be
+                # 64-bit once offsets pass 2^31
+                nxt_g = packed[2, off:off + n].astype(np.int64) + base
                 out[r] = (packed[0, off:off + n],
                           packed[1, off:off + n], nxt_g)
                 off += n
@@ -1018,7 +1020,10 @@ def _build_entries_spill(jobs, R, max_itv, max_nc, qlen2, naln,
     flag[1:] = (eq_s[1:] != eq_s[:-1]) | (ei_s[1:] != ei_s[:-1])
     m = np.where(flag, np.arange(E, dtype=np.int64), E)
     sfx = np.minimum.accumulate(m[::-1])[::-1]
-    nxt = np.concatenate([sfx[1:], [E]]).astype(np.int32)
+    # global entry indices exceed int32 exactly in the regime this spill
+    # path targets (billions of pairs) — keep run jumps 64-bit there
+    idt = np.int32 if E < 2**31 else np.int64
+    nxt = np.concatenate([sfx[1:], [E]]).astype(idt)
     bounds = np.searchsorted(eq_s, np.arange(R + 1,
                                              dtype=np.int64)).astype(
         np.int64)

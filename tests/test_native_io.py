@@ -80,6 +80,27 @@ def test_subset_and_lower_override(tmp_path):
     assert sub.qual(0) == 'KKKK' and sub.qual(1) == 'IIIIIIII'
 
 
+def test_subset_lower_override_padded(tmp_path):
+    # filter stage computes repeat masks on padded length buckets; a mask
+    # longer than its read must not shift the NEXT read's mask (the
+    # advisor's round-2 repro: a 2-read subset returned 'TTTT' where
+    # 'ttTT' was expected)
+    p = tmp_path / 'z.fastq'
+    p.write_text('@a\nACGTACGT\n+\nIIIIIIII\n@b\nTTTT\n+\nJJJJ\n')
+    fa = fastq.read_reads(str(p))
+    mask_a = np.zeros(16, np.uint8)         # padded to a 16-bucket
+    mask_b = np.zeros(16, np.uint8)
+    mask_b[:2] = 1
+    sub = fa.subset([0, 1], lower_override=[mask_a, mask_b])
+    assert sub.seq_str(0) == 'ACGTACGT'
+    assert sub.seq_str(1) == 'ttTT'
+    # short override pads with uppercase rather than misaligning
+    sub2 = fa.subset([1, 0], lower_override=[np.array([1], np.uint8),
+                                             np.zeros(8, np.uint8)])
+    assert sub2.seq_str(0) == 'tTTT'
+    assert sub2.seq_str(1) == 'ACGTACGT'
+
+
 def test_native_large_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     p = tmp_path / 'big.fastq'
