@@ -124,15 +124,11 @@ class ClusterConfig:
     filter_high_coverage: bool = False
     filter_false: bool = False
     max_intervals_per_read: int = 32   # fixed-shape cap for the Jaccard kernel
-    # gated pair sets up to this size batch ALL first-encounter Jaccards in
-    # one device pass; larger sets use speculative walk rounds — on cliquey
-    # data the superset is up to ~10x the edge-capped walked set, so
-    # one-shot only wins while the round-sync overhead dominates compute
-    max_oneshot_pairs: int = 200_000
     # encounter streams above this size enumerate + min-reduce ON DEVICE
-    # (ops/encounters.py) instead of host numpy; the walk then fetches only
-    # the entry windows it touches.  Below it the host path wins (device
-    # round-trips dominate tiny streams).
+    # (ops/encounters.py) instead of host numpy; the capped-traversal
+    # replay (ops/capwalk.py) then values entries without them ever
+    # leaving HBM.  Below it the host path wins (device round-trips
+    # dominate tiny streams).
     device_enum_min_encounters: int = 4_000_000
     # encounters expanded per device slice (bounds transient HBM: a slice
     # holds ~10 int64/encounter temporaries during the sort)

@@ -1,0 +1,362 @@
+"""Edge-capped traversal replay as a closed-form device program.
+
+The reference's clustering loop (/root/reference/fslr/cluster.py:187-227)
+walks each read's encounter entries in traversal order, emits edges whose
+greedy Jaccard passes the per-intersection-count cutoff
+(cluster.py:216-224), and once ``edge_threshold`` edges have been emitted
+(the soft cap of 10, main.py:221) skips the remainder of the current
+interval's neighbor run on every valued entry.
+
+Because an entry's (jaccard, n_intersections) depends only on its read
+pair — not on where the traversal tests it — the emitted edge set is a
+pure function of per-entry values:
+
+  pre-cap    every passing entry whose exclusive pass-count < T emits
+             (this includes the T-th pass, the cap event — unique per
+             query);
+  cap run    the remainder of the run containing the cap event is
+             skipped entirely;
+  post-cap   in every later run, the walk steps over unvalued (n == 0)
+             entries and tests exactly the FIRST valued entry, which
+             emits iff it passes, then jumps to the next run.
+
+That turns the sequential walk into segmented cumulative sums — one
+vectorized pass instead of round 2's speculative host walk (O(rounds)
+blocking device syncs + per-entry Python, the 425 s wall at 100k reads).
+Valuing every gated pair up front is batched device work; the replay is
+O(E) scans; the only host round trips are one emission-count fetch and
+one emission fetch per entry-set.
+
+Two implementations share the formulas: :func:`replay` (numpy, used by
+the host enumeration path and the spill fallback) and the jitted
+per-bucket program inside :func:`resolve_device` (used by the
+device-resident entry sets, where entries never leave HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+# valuing-batch length (entries per device call)
+CHUNK = 1 << 21
+
+
+# --------------------------------------------------------------------------
+# shared replay formulas (numpy)
+# --------------------------------------------------------------------------
+
+def replay(passv: np.ndarray, gated: np.ndarray, rc: np.ndarray,
+           eq: np.ndarray, bounds: np.ndarray, edge_threshold: int):
+    """Emission mask of the edge-capped traversal.
+
+    Args:
+      passv: entry passes its jaccard cutoff (implies ``gated``).
+      gated: entry was valued with n_intersections != 0.
+      rc:    True where a new (query, interval) run starts.
+      eq:    querying read per entry (entries sorted by read, runs
+             contiguous within a read).
+      bounds: (R+1,) entry range per read.
+      edge_threshold: the soft edge cap T.
+    """
+    E = len(passv)
+    if E == 0:
+        return np.zeros(0, bool)
+    T = int(edge_threshold)
+    pi = passv.astype(np.int64)
+    cum = np.cumsum(pi)
+    cum0 = np.concatenate([[0], cum])
+    base_cp = np.repeat(cum0[bounds[:-1]], np.diff(bounds))
+    cp = cum - base_cp                       # inclusive per-query passes
+    capped = (cp - pi) >= T                  # cap reached strictly before
+    run_index = np.cumsum(rc) - 1
+    capev = passv & (cp == T)                # the T-th pass (<=1 per query)
+    R = len(bounds) - 1
+    caprun = np.full(R, -1, np.int64)
+    caprun[eq[capev]] = run_index[capev]
+    in_cap_run = capped & (run_index == caprun[eq])
+    gi = gated.astype(np.int64)
+    cumg = np.cumsum(gi)
+    gex = cumg - gi
+    runbase = gex[rc]                        # valued-count at run starts
+    first_gated = gated & (gex == runbase[run_index])
+    return (passv & ~capped) | (capped & ~in_cap_run & first_gated & passv)
+
+
+def value_and_replay_host(eq, ei, eo, bounds, dev_arrays, M, pct, cutoffs,
+                          edge_threshold, over, host_value):
+    """Value every entry (batched device Jaccard; exact host fallback for
+    reads whose interval lists exceed the kernel cap) and replay the
+    traversal in numpy.  Returns (idx, eo, j) in traversal order, with j
+    float64 (device values exactly upcast; over-cap pairs exact)."""
+    from fslr_tpu.ops import jaccard
+
+    E = len(eq)
+    if E == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float64)
+    j64 = np.zeros(E, np.float64)
+    n_i = np.zeros(E, np.int64)
+    if len(over):
+        ovm = np.isin(eq, over) | np.isin(eo, over)
+    else:
+        ovm = np.zeros(E, bool)
+    dev_rows = np.flatnonzero(~ovm)
+    if len(dev_rows):
+        pairs = np.stack([eq[dev_rows], eo[dev_rows]], 1).astype(np.int32)
+        jd, nd = jaccard.jaccard_pairs_indexed(pairs, *dev_arrays, pct,
+                                               M=M)
+        j64[dev_rows] = jd.astype(np.float64)
+        n_i[dev_rows] = nd
+    if ovm.any():
+        rows = np.flatnonzero(ovm)
+        jh, nh = host_value(eq[rows], eo[rows])
+        j64[rows] = jh
+        n_i[rows] = nh
+    cut = np.asarray(cutoffs, np.float64)
+    gated = n_i != 0
+    passv = gated & (j64 >= cut[np.clip(n_i - 1, 0, len(cut) - 1)])
+    rc = np.ones(E, bool)
+    rc[1:] = (eq[1:] != eq[:-1]) | (ei[1:] != ei[:-1])
+    emit = replay(passv, gated, rc, eq, bounds, edge_threshold)
+    idx = np.flatnonzero(emit)
+    return idx, np.asarray(eo)[idx], j64[idx]
+
+
+# --------------------------------------------------------------------------
+# device implementation
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _value_fn(C: int, M: int, NO: int):
+    import jax
+    import jax.numpy as jnp
+
+    from fslr_tpu.ops.jaccard import _jaccard_impl
+
+    @jax.jit
+    def fn(key, eo, off, nb, chrom, start, end, size, valid, lens, cut,
+           over, pct, ts, mn):
+        k = jax.lax.dynamic_slice(key, (off,), (C,))
+        o = jax.lax.dynamic_slice(eo, (off,), (C,)).astype(jnp.int32)
+        pos = off + jnp.arange(C, dtype=jnp.int64)
+        tail = pos >= nb
+        eqs = (k // ts).astype(jnp.int32)
+        rungid = jnp.where(tail, jnp.int64(-1), k // mn)
+        R2 = lens.shape[0]
+        a = jnp.clip(eqs, 0, R2 - 1)
+        b = jnp.clip(o, 0, R2 - 1)
+        j, n = _jaccard_impl(chrom[a], start[a], end[a], size[a],
+                             valid[a], chrom[b], start[b], end[b],
+                             size[b], valid[b], lens[a], lens[b], pct,
+                             M)
+        gated = (n > 0) & ~tail
+        # cutoff comparison in float64 of the float32 jaccard — exactly
+        # the host replay's semantics (cutoffs are python doubles)
+        tgt = cut[jnp.clip(n - 1, 0, cut.shape[0] - 1)]
+        passv = gated & (j.astype(jnp.float64) >= tgt)
+        ov = ((a[:, None] == over[None, :]).any(axis=1)
+              | (b[:, None] == over[None, :]).any(axis=1)) & ~tail
+        return (jnp.where(tail, jnp.float32(0), j), passv, gated,
+                jnp.where(tail, 0, a), rungid, ov)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _replay_fn(NBp: int, RB: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(passv, gated, rungid, eqs, bounds, base, T):
+        pi = passv.astype(jnp.int32)
+        cum = jnp.cumsum(pi)
+        qb = jnp.take(bounds, jnp.clip(eqs, 0, RB).astype(jnp.int64))
+        qs = jnp.clip(qb - base, 0, NBp)
+        base_cp = jnp.where(
+            qs > 0, jnp.take(cum, jnp.clip(qs - 1, 0, NBp - 1)), 0)
+        cp = cum - base_cp
+        capped = (cp - pi) >= T
+        rolled = jnp.concatenate([rungid[-1:], rungid[:-1]])
+        rc = (jnp.arange(NBp) == 0) | (rungid != rolled)
+        run_index = jnp.cumsum(rc.astype(jnp.int32)) - 1
+        capev = passv & (cp == T)
+        caprun = jnp.full(RB + 1, -1, jnp.int32).at[
+            jnp.where(capev, eqs, RB)].max(
+            jnp.where(capev, run_index, -1))
+        in_cap_run = capped & (run_index
+                               == jnp.take(caprun, jnp.clip(eqs, 0, RB)))
+        gi = gated.astype(jnp.int32)
+        cumg = jnp.cumsum(gi)
+        gex = cumg - gi
+        runbase = jnp.zeros(NBp, jnp.int32).at[run_index].add(
+            jnp.where(rc, gex, 0))
+        first_g = gated & (gex == jnp.take(runbase, run_index))
+        emit = (passv & ~capped) | (capped & ~in_cap_run & first_g
+                                    & passv)
+        return emit, jnp.sum(emit.astype(jnp.int32))
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _compress_fn(NBp: int, NB: int, S: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(emit, eo, j, base):
+        idx = jnp.flatnonzero(emit, size=S, fill_value=NBp - 1)
+        e = jnp.take(eo, jnp.clip(idx, 0, NB - 1))
+        jj = jnp.take(j, jnp.clip(idx, 0, NB - 1))
+        return jnp.stack([idx.astype(jnp.float64) + base,
+                          e.astype(jnp.float64),
+                          jj.astype(jnp.float64)])
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _rows_fn(NBp: int, S: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(mask, eqs, eo, base):
+        idx = jnp.flatnonzero(mask, size=S, fill_value=NBp - 1)
+        cl = jnp.clip(idx, 0, eo.shape[0] - 1)
+        return jnp.stack([idx.astype(jnp.float64) + base,
+                          jnp.take(eqs, jnp.clip(idx, 0, NBp - 1))
+                          .astype(jnp.float64),
+                          jnp.take(eo, cl).astype(jnp.float64)])
+
+    return fn
+
+
+def _pow2(n: int, lo: int = 8) -> int:
+    return max(lo, 1 << (max(n - 1, 1)).bit_length())
+
+
+def resolve_device(buckets, bounds: np.ndarray, max_itv: int, max_nc: int,
+                   dev_arrays, M: int, pct: float, cutoffs,
+                   edge_threshold: int, over: np.ndarray, host_value):
+    """Value + replay over device-resident entry buckets.
+
+    Args:
+      buckets: list of (key_dev, eo_dev, base, nb) — traversal-key /
+        other-read arrays per bucket, ``base`` the bucket's global entry
+        offset.  Queries never span buckets (encounters.py invariant).
+      bounds: (R+1,) global per-read entry ranges.
+      over: read ids whose interval lists exceed M (exact host Jaccard).
+      host_value: (eq_arr, eo_arr) -> (j_f64, n) exact host values.
+
+    Returns (idx, eo, j) numpy arrays in global traversal order; j is
+    float64 (device float32 exactly upcast; over-cap pairs exact).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    R = len(bounds) - 1
+    with jax.enable_x64():
+        cut_d = jnp.asarray(np.asarray(cutoffs, np.float64))
+        NO = _pow2(len(over), 1)
+        over_p = np.full(NO, -1, np.int32)
+        over_p[:len(over)] = over
+        over_d = jnp.asarray(over_p)
+        bounds_d = jnp.asarray(bounds.astype(np.int64))
+        ts = jnp.int64(int(max_itv) * int(max_nc))
+        mn = jnp.int64(int(max_nc))
+        pct_j = jnp.float32(pct)
+
+        done = []            # (emit_dev, count_dev, j_dev, eo_dev, base, NB, NBp)
+        over_fix: dict[int, float] = {}     # global idx -> exact f64 j
+        for key_d, eo_d, base, nb in buckets:
+            if nb == 0:
+                continue
+            C = min(CHUNK, _pow2(nb, 256))
+            k = -(-nb // C)
+            NBp = k * C
+            if NBp != nb:
+                key_p = jnp.concatenate(
+                    [key_d, jnp.zeros(NBp - nb, key_d.dtype)])
+                eo_p = jnp.concatenate(
+                    [eo_d, jnp.zeros(NBp - nb, eo_d.dtype)])
+            else:
+                key_p, eo_p = key_d, eo_d
+            fn = _value_fn(C, M, NO)
+            parts = [fn(key_p, eo_p, jnp.int64(off), jnp.int64(nb),
+                        *dev_arrays, cut_d, over_d, pct_j, ts, mn)
+                     for off in range(0, NBp, C)]
+            del key_p, eo_p
+            if k == 1:
+                jb, passb, gatedb, eqb, rungb, ovb = parts[0]
+            else:
+                jb, passb, gatedb, eqb, rungb, ovb = (
+                    jnp.concatenate([p[i] for p in parts])
+                    for i in range(6))
+            del parts
+            if len(over):
+                n_ov = int(jnp.sum(ovb))
+                if n_ov:
+                    S = _pow2(n_ov)
+                    rows = np.asarray(_rows_fn(NBp, S)(
+                        ovb, eqb, eo_d, jnp.float64(base)))
+                    gi = rows[0, :n_ov].astype(np.int64)
+                    qa = rows[1, :n_ov].astype(np.int64)
+                    qb_ = rows[2, :n_ov].astype(np.int64)
+                    jh, nh = host_value(qa, qb_)
+                    cutn = np.asarray(cutoffs, np.float64)
+                    gh = nh != 0
+                    ph = gh & (jh >= cutn[np.clip(nh - 1, 0,
+                                                  len(cutn) - 1)])
+                    li = jnp.asarray((gi - base).astype(np.int64))
+                    passb = passb.at[li].set(jnp.asarray(ph))
+                    gatedb = gatedb.at[li].set(jnp.asarray(gh))
+                    jb = jb.at[li].set(
+                        jnp.asarray(jh.astype(np.float32)))
+                    over_fix.update(zip(gi.tolist(), jh.tolist()))
+            emit, cnt = _replay_fn(NBp, R)(
+                passb, gatedb, rungb, eqb, bounds_d, jnp.int64(base),
+                jnp.int32(edge_threshold))
+            del passb, gatedb, rungb, eqb, ovb
+            done.append((emit, cnt, jb, eo_d, base, nb, NBp))
+
+        if not done:
+            z = np.zeros(0, np.int64)
+            return z, z, np.zeros(0, np.float64)
+        counts = np.asarray(jnp.stack([d[1] for d in done]))   # 1 sync
+        packs = []
+        sizes = []
+        for (emit, _, jb, eo_d, base, nb, NBp), n_e in zip(done, counts):
+            n_e = int(n_e)
+            if n_e == 0:
+                sizes.append((0, 0))
+                continue
+            S = _pow2(n_e)
+            packs.append(_compress_fn(NBp, nb, S)(
+                emit, eo_d, jb, jnp.float64(base)))
+            sizes.append((S, n_e))
+        if not packs:
+            z = np.zeros(0, np.int64)
+            return z, z, np.zeros(0, np.float64)
+        allp = np.asarray(jnp.concatenate(packs, axis=1))      # 1 sync
+        idx_l, eo_l, j_l = [], [], []
+        off = 0
+        for S, n_e in sizes:
+            if S == 0:
+                continue
+            idx_l.append(allp[0, off:off + n_e].astype(np.int64))
+            eo_l.append(allp[1, off:off + n_e].astype(np.int64))
+            j_l.append(allp[2, off:off + n_e])
+            off += S
+        idx = np.concatenate(idx_l)
+        eo_e = np.concatenate(eo_l)
+        j_e = np.concatenate(j_l)
+        if over_fix:
+            for r, gi in enumerate(idx):
+                v = over_fix.get(int(gi))
+                if v is not None:
+                    j_e[r] = v
+        return idx, eo_e, j_e

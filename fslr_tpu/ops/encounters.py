@@ -357,6 +357,11 @@ class EntrySet:
         packed = self._gather(np.arange(self.E, dtype=np.int64))
         return packed[0], packed[1], packed[2]
 
+    def device_buckets(self):
+        """[(key_dev, eo_dev, global_base, n_entries)] for the capwalk
+        device replay (ops/capwalk.py)."""
+        return [(self._key, self._eo, 0, self.E)]
+
 
 class HostEntrySet:
     """EntrySet with host-resident arrays (the spill path's result): pair
@@ -662,6 +667,19 @@ class ShardedEntrySet:
 
     def _bucket_of(self, s: int) -> int:
         return int(np.searchsorted(self._offsets, s, side='right') - 1)
+
+    def device_buckets(self):
+        """[(key_dev, eo_dev, global_base, n_entries)] per bucket, in
+        global traversal order (queries never span buckets)."""
+        out = []
+        for bi, b in enumerate(self._buckets):
+            if b is None:
+                continue
+            key_d, eo_d, _ = b
+            base = int(self._offsets[bi])
+            out.append((key_d, eo_d, base,
+                        int(self._offsets[bi + 1]) - base))
+        return out
 
     def fetch(self, ranges: list[tuple[int, int]]):
         if not ranges:

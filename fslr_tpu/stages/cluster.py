@@ -43,7 +43,7 @@ import numpy as np
 import pandas as pd
 
 from fslr_tpu.config import ClusterConfig
-from fslr_tpu.ops import components, jaccard
+from fslr_tpu.ops import capwalk, components, jaccard
 
 # max encounters materialized per enumeration slice (see query_graph)
 ENCOUNTER_SLICE_CAP = 32 * 1024 * 1024
@@ -185,11 +185,8 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
                 qlen_diff, n_aln_diff, cfg: ClusterConfig):
     """Returns (match_df, edges list in add order, node first-seen order).
 
-    Exact replay of the reference traversal (cluster.py:187-227), computed
-    lazily: the set of pairs the traversal Jaccard-tests is data-dependent
-    (the edge cap's break stops a query early), so instead of batching the
-    whole cap-unaware candidate superset — 10-20x more pairs than the
-    traversal touches on clustered amplicon data — the replay is decomposed:
+    Exact replay of the reference traversal (cluster.py:187-227),
+    computed in closed form:
 
       1. the full encounter stream is enumerated VECTORIZED in exact
          traversal order (query first-seen order, interval list order,
@@ -197,14 +194,13 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
       2. ``seen_edges`` dedup and the qlen2/n_alignments gate are static,
          so they reduce the stream to per-query entry arrays without any
          similarity value;
-      3. per-query walks are independent (each pair is tested at its
-         globally-first encounter, which the static dedup already fixed),
-         so a round loop walks every query as far as known similarities
-         allow, batch-computes the next speculative window of unknown
-         pairs on device, and repeats (window doubles per round);
-      4. a final single pass replays all queries in traversal order with
-         the fully-populated value map and emits match/edges/node order
-         exactly as the reference's sequential loop would.
+      3. every gated pair's greedy Jaccard is computed in batched device
+         calls (a pair's value does not depend on where the traversal
+         tests it), and the edge-capped walk's emission set is recovered
+         from the values with segmented scans (ops/capwalk.py) — no
+         sequential walking at all;
+      4. emissions arrive in entry order == traversal order, so
+         match/edges/node order are exactly the reference's.
     """
     query_intervals = {}
     for itv in data:
@@ -278,19 +274,30 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
     dev_arrays = jaccard.upload_interval_arrays(
         chrom_a, start_a, end_a, size_a, valid_a, np.minimum(lens_a, M))
     over = np.nonzero(lens_a > M)[0]
-    over_set = set(over.tolist())
+
+    def host_value(eqs, eos):
+        """Exact host greedy Jaccard for reads whose interval lists
+        exceed the kernel cap M (cluster.py:140-170 semantics)."""
+        jh = np.empty(len(eqs), np.float64)
+        nh = np.empty(len(eqs), np.int64)
+        for r in range(len(eqs)):
+            jh[r], nh[r] = jaccard.jaccard_host(
+                as_tuples(query_intervals[qnames_order[int(eqs[r])]]),
+                as_tuples(query_intervals[qnames_order[int(eos[r])]]),
+                overlap_cutoff)
+        return jh, nh
 
     if total_enc >= cfg.device_enum_min_encounters \
             and trav_scale < (1 << 30):
         # (trav_scale >= 2^30 would overflow the device path's packed
         # 12-byte pair state — pathological interval counts stay host-side)
-        # scale path: enumeration + per-pair min-reduce on device; the
-        # walk fetches only the entry windows it touches
+        # scale path: enumeration + per-pair min-reduce AND the capped
+        # traversal replay on device
         return _query_graph_device(
             jobs, R, max_itv, max_nc, trav_scale, qlen2_arr, naln_arr,
             overlap_cutoff, jaccard_cutoffs, edge_threshold, qlen_diff,
-            n_aln_diff, cfg, query_intervals, qnames_order, over_set,
-            dev_arrays, M)
+            n_aln_diff, cfg, qnames_order, over, dev_arrays, M,
+            host_value)
 
     # Bounded-memory host enumeration: the raw encounter stream is
     # quadratic in recurrent-breakpoint group size, so interval ranges are
@@ -387,134 +394,29 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         eq = ei = eo = np.zeros(0, np.int64)
 
     bounds = np.searchsorted(eq, np.arange(R + 1))
-    # per-ENTRY value arrays: the walk only ever looks up entry i's own
-    # (eq[i], eo[i]) pair, so values index by entry position — a tuple-key
-    # dict here cost ~seconds of build + lookup at millions of pairs
-    E = len(eq)
-    val_j = np.zeros(E, np.float64)
-    val_n = np.zeros(E, np.int64)
-    known = np.zeros(E, bool)
-    requested = np.zeros(E, bool)
-    cutoffs = list(jaccard_cutoffs)
-    n_cut = len(cutoffs)
+    idx_e, eo_e, j_e = capwalk.value_and_replay_host(
+        eq, ei, eo, bounds, dev_arrays, M, overlap_cutoff,
+        list(jaccard_cutoffs), edge_threshold, over, host_value)
+    return _emit_outputs(idx_e, eo_e, j_e, bounds, qnames_order)
 
-    def walk(q, start_i, edge_count, emit=None, request=None, W=0):
-        """Resume query q's traversal at entry start_i.  Returns
-        (finished, i, edge_count); appends unknown entry indices to
-        ``request`` (speculative W-window) when stalled."""
-        lo_b, hi_b = int(bounds[q]), int(bounds[q + 1])
-        i = start_i
-        while i < hi_b:
-            if not known[i]:
-                if request is not None:
-                    end = min(i + W, hi_b)
-                    for t in range(i, end):
-                        if not known[t] and not requested[t]:
-                            requested[t] = True
-                            request.append(t)
-                return False, i, edge_count
-            n_i = val_n[i]
-            if n_i != 0:
-                target = cutoffs[n_i - 1] if n_i - 1 < n_cut else cutoffs[-1]
-                if val_j[i] >= target:
-                    edge_count += 1
-                    if emit is not None:
-                        emit(q, int(eo[i]), val_j[i])
-                if edge_count >= edge_threshold:
-                    # break = skip the rest of this interval's neighbors
-                    cur = ei[i]
-                    i += 1
-                    while i < hi_b and ei[i] == cur:
-                        i += 1
-                    continue
-            i += 1
-        return True, i, edge_count
 
-    def resolve(requests):
-        """Batch-compute greedy Jaccard for the entry indices in
-        ``requests``; the querying read eq[t] is the l1 role (greedy
-        matching is role-dependent)."""
-        idx = np.asarray(requests, np.int64)
-        qa_all, qb_all = eq[idx], eo[idx]
-        if over_set:
-            host = np.isin(qa_all, over) | np.isin(qb_all, over)
-        else:
-            host = np.zeros(len(idx), bool)
-        dev = idx[~host]
-        if len(dev):
-            pairs = np.stack([eq[dev], eo[dev]], axis=1).astype(np.int32)
-            j_arr, n_arr = jaccard.jaccard_pairs_indexed(
-                pairs, *dev_arrays, overlap_cutoff, M=M)
-            val_j[dev] = j_arr
-            val_n[dev] = n_arr
-            known[dev] = True
-        for t in idx[host]:
-            qa, qb = int(eq[t]), int(eo[t])
-            val_j[t], val_n[t] = jaccard.jaccard_host(
-                as_tuples(query_intervals[qnames_order[qa]]),
-                as_tuples(query_intervals[qnames_order[qb]]),
-                overlap_cutoff)
-            known[t] = True
-
-    # ---- 3. round loop: walk all queries, batch unknown pairs ---------
-    # One-shot fast path: for pair sets that fit comfortably on device,
-    # resolving the full first-encounter superset in ONE batch beats the
-    # speculative rounds — the superset is typically 2-10x the walked set
-    # (cheap, fully batched) while every round costs a device sync over
-    # the high-latency link.
-    if 0 < len(eq) <= cfg.max_oneshot_pairs:
-        resolve(np.arange(len(eq)))
-    active = np.nonzero(bounds[1:] > bounds[:-1])[0]
-    pos = {int(q): (int(bounds[q]), 0) for q in active}
-    pending = list(pos.keys())
-    # Per-query emission buffers: a query's walk emits the same sequence
-    # regardless of round interleaving (it depends only on its own entries'
-    # values), so emissions are recorded during the round-loop walk and
-    # concatenated in traversal order afterwards — the reference-order
-    # replay pass costs nothing extra.
-    embuf: dict[int, list] = {int(q): [] for q in active}
-    # every round costs a device sync over the high-latency TPU link, so
-    # the speculative window starts wide and grows 4x (over-speculated
-    # Jaccards are cheap batched device work; rounds are not)
-    W = 256
-    while pending:
-        requests: list[int] = []        # entry indices
-        nxt = []
-        for q in pending:
-            i, ec = pos[q]
-            buf = embuf[q]
-            fin, i, ec = walk(q, i, ec,
-                              emit=lambda qa, qb, j, b=buf: b.append((qb, j)),
-                              request=requests, W=W)
-            pos[q] = (i, ec)
-            if not fin:
-                nxt.append(q)
-        if not requests:
-            break
-        resolve(requests)
-        pending = nxt
-        W = min(W * 4, 16384)
-
-    # ---- 4. emit in exact traversal order ------------------------------
+def _emit_outputs(idx, eo_e, j_e, bounds, qnames_order):
+    """match/edges/node order from the replay's emissions, which arrive
+    in exact traversal order (ascending global entry index; queries in
+    first-seen order) — identical to the reference's sequential emit."""
+    eq_e = np.searchsorted(bounds, idx, side='right') - 1
     match = set()
     edges = []
     node_pos = {}
-
-    def note(n):
-        if n not in node_pos:
-            node_pos[n] = len(node_pos)
-
-    def emit(qa, qb, j):
-        name_a, name_b = qnames_order[qa], qnames_order[qb]
-        match.add((name_a, name_b, j))
-        note(name_a)
-        note(name_b)
+    for qa, qb, j in zip(eq_e, eo_e, j_e):
+        name_a = qnames_order[int(qa)]
+        name_b = qnames_order[int(qb)]
+        match.add((name_a, name_b, float(j)))
+        if name_a not in node_pos:
+            node_pos[name_a] = len(node_pos)
+        if name_b not in node_pos:
+            node_pos[name_b] = len(node_pos)
         edges.append((name_a, name_b))
-
-    for q in active:
-        for qb, j in embuf[int(q)]:
-            emit(int(q), qb, j)
-
     match_df = pd.DataFrame(
         match, columns=['query1', 'query2', 'jaccard_similarity'])
     return match_df, edges, node_pos
@@ -523,15 +425,17 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
 def _query_graph_device(jobs, R, max_itv, max_nc, trav_scale, qlen2_arr,
                         naln_arr, overlap_cutoff, jaccard_cutoffs,
                         edge_threshold, qlen_diff, n_aln_diff,
-                        cfg: ClusterConfig, query_intervals, qnames_order,
-                        over_set, dev_arrays, M):
+                        cfg: ClusterConfig, qnames_order, over,
+                        dev_arrays, M, host_value):
     """Scale path of query_graph: the encounter stream is enumerated and
-    min-reduced on DEVICE (ops/encounters.py) and the gated entries stay
-    device-resident; the traversal replay below fetches only the entry
-    windows it touches (the edge cap makes that a small fraction).  The
-    emitted match/edges/node order is identical to the host path — the
-    same per-pair first-encounter keys drive the same walk
+    min-reduced on DEVICE (ops/encounters.py), entries stay
+    device-resident, and the edge-capped traversal is replayed as a
+    device program (ops/capwalk.py) — every gated pair is valued in
+    chunked batches and the emission set falls out of segmented scans,
+    so the whole walk costs O(1) host syncs instead of round 2's
+    O(rounds).  Emissions are identical to the host path
     (tests/test_cluster.py asserts equality)."""
+    from fslr_tpu.ops import capwalk as cw
     from fslr_tpu.ops import encounters
 
     ents = encounters.build_entries(
@@ -543,183 +447,21 @@ def _query_graph_device(jobs, R, max_itv, max_nc, trav_scale, qlen2_arr,
         merge_cap=cfg.enum_merge_cap,
         spill_min_encounters=cfg.enum_spill_min_encounters)
     bounds = ents.bounds
-    E = ents.E
-
-    def as_tuples(lst):
-        return [(i.chrom, i.start, i.end, i.aln_size) for i in lst]
-
     cutoffs = list(jaccard_cutoffs)
-    n_cut = len(cutoffs)
-    cache: dict[int, dict] = {}
+    if isinstance(ents, encounters.HostEntrySet):
+        # spill fallback: entries live in host RAM; value on device in
+        # chunks, replay in numpy
+        ei_s, eo_s, _ = ents.fetch_all()
+        eq_s = np.repeat(np.arange(R, dtype=np.int64), np.diff(bounds))
+        idx_e, eo_e, j_e = cw.value_and_replay_host(
+            eq_s, ei_s, eo_s, bounds, dev_arrays, M, overlap_cutoff,
+            cutoffs, edge_threshold, over, host_value)
+    else:
+        idx_e, eo_e, j_e = cw.resolve_device(
+            ents.device_buckets(), bounds, max_itv, max_nc, dev_arrays,
+            M, overlap_cutoff, cutoffs, edge_threshold, over, host_value)
+    return _emit_outputs(idx_e, eo_e, j_e, bounds, qnames_order)
 
-    def _prime(q, lo_b, triple):
-        ei_c, eo_c, nxt_c = triple
-        f = len(ei_c)
-        cache[q] = dict(base=lo_b, ei=ei_c, eo=eo_c, nxt=nxt_c,
-                        val_j=np.zeros(f, np.float64),
-                        val_n=np.zeros(f, np.int64),
-                        known=np.zeros(f, bool), req=np.zeros(f, bool))
-
-    def _extend(q, triple):
-        c = cache[q]
-        ei_c, eo_c, nxt_c = triple
-        f = len(ei_c)
-        for k, new in (('ei', ei_c), ('eo', eo_c), ('nxt', nxt_c)):
-            c[k] = np.concatenate([c[k], new])
-        for k, dt in (('val_j', np.float64), ('val_n', np.int64),
-                      ('known', bool), ('req', bool)):
-            c[k] = np.concatenate([c[k], np.zeros(f, dt)])
-
-    def walk(q, i, ec, buf, fetch_req, val_req, W):
-        lo_b, hi_b = int(bounds[q]), int(bounds[q + 1])
-        c = cache.get(q)
-        while i < hi_b:
-            if c is None or i < c['base'] or \
-                    i >= c['base'] + len(c['ei']):
-                fetch_req.append((q, i, min(i + W, hi_b)))
-                return False, i, ec
-            k = i - c['base']
-            if not c['known'][k]:
-                # speculative value window within the fetched region
-                end = min(i + W, c['base'] + len(c['ei']), hi_b)
-                for t in range(i, end):
-                    tk = t - c['base']
-                    if not c['known'][tk] and not c['req'][tk]:
-                        c['req'][tk] = True
-                        val_req.append((q, t))
-                return False, i, ec
-            n_i = c['val_n'][k]
-            if n_i != 0:
-                target = cutoffs[n_i - 1] if n_i - 1 < n_cut \
-                    else cutoffs[-1]
-                if c['val_j'][k] >= target:
-                    ec += 1
-                    buf.append((int(c['eo'][k]), c['val_j'][k]))
-                if ec >= edge_threshold:
-                    # skip the rest of this interval's neighbors: jump to
-                    # the precomputed next (read, interval) run boundary
-                    i = int(c['nxt'][k])
-                    continue
-            i += 1
-        return True, i, ec
-
-    def resolve(val_req):
-        """Batch greedy Jaccard for (q, entry) requests; q is the l1
-        role."""
-        qa = np.array([q for q, _ in val_req], np.int64)
-        qb = np.empty(len(val_req), np.int64)
-        for r, (q, t) in enumerate(val_req):
-            c = cache[q]
-            qb[r] = c['eo'][t - c['base']]
-        if over_set:
-            host = (np.isin(qa, list(over_set))
-                    | np.isin(qb, list(over_set)))
-        else:
-            host = np.zeros(len(val_req), bool)
-        j_out = np.zeros(len(val_req), np.float64)
-        n_out = np.zeros(len(val_req), np.int64)
-        dev_rows = np.nonzero(~host)[0]
-        if len(dev_rows):
-            pairs = np.stack([qa[dev_rows], qb[dev_rows]],
-                             axis=1).astype(np.int32)
-            j_arr, n_arr = jaccard.jaccard_pairs_indexed(
-                pairs, *dev_arrays, overlap_cutoff, M=M)
-            j_out[dev_rows] = j_arr
-            n_out[dev_rows] = n_arr
-        for r in np.nonzero(host)[0]:
-            j_out[r], n_out[r] = jaccard.jaccard_host(
-                as_tuples(query_intervals[qnames_order[qa[r]]]),
-                as_tuples(query_intervals[qnames_order[qb[r]]]),
-                overlap_cutoff)
-        for r, (q, t) in enumerate(val_req):
-            c = cache[q]
-            k = t - c['base']
-            c['val_j'][k] = j_out[r]
-            c['val_n'][k] = n_out[r]
-            c['known'][k] = True
-
-    active = np.nonzero(bounds[1:] > bounds[:-1])[0]
-    pos = {int(q): (int(bounds[q]), 0) for q in active}
-    embuf: dict[int, list] = {int(q): [] for q in active}
-    pending = list(pos.keys())
-
-    # one-shot: small gated sets resolve everything in one batch (mirrors
-    # the host path's fast path; emission order is walk-determined either
-    # way)
-    if 0 < E <= cfg.max_oneshot_pairs:
-        triples = ents.fetch(
-            [(int(bounds[q]), int(bounds[q + 1])) for q in pending])
-        reqs = []
-        for q, tr in zip(pending, triples):
-            _prime(q, int(bounds[q]), tr)
-            reqs.extend((q, t) for t in range(int(bounds[q]),
-                                              int(bounds[q + 1])))
-        if reqs:
-            resolve(reqs)
-
-    # W starts near the edge cap (most queries finish in ~cap emits plus
-    # one probe per interval run) and grows for the stragglers; a large
-    # initial W would speculative-resolve O(queries x W) Jaccards
-    W = max(16, edge_threshold + 6)
-    import os as _os
-    import sys as _sys
-    import time as _time
-    dbg = bool(_os.environ.get('FSLR_ENC_DEBUG'))
-    rounds = 0
-    while pending:
-        t0 = _time.time()
-        fetch_req: list[tuple] = []
-        val_req: list[tuple] = []
-        nxt_pending = []
-        for q in pending:
-            i, ec = pos[q]
-            fin, i, ec = walk(q, i, ec, embuf[q], fetch_req, val_req, W)
-            pos[q] = (i, ec)
-            if not fin:
-                nxt_pending.append(q)
-        t1 = _time.time()
-        if fetch_req:
-            triples = ents.fetch([(s, t) for (_, s, t) in fetch_req])
-            for (q, s, t), tr in zip(fetch_req, triples):
-                c = cache.get(q)
-                if c is not None and s == c['base'] + len(c['ei']):
-                    _extend(q, tr)
-                else:
-                    _prime(q, s, tr)
-        t2 = _time.time()
-        if val_req:
-            resolve(val_req)
-        if dbg:
-            print(f'[enc] round={rounds} W={W} pending={len(pending)} '
-                  f'fetch={len(fetch_req)} vals={len(val_req)} '
-                  f'walk={t1 - t0:.2f}s fetch={t2 - t1:.2f}s '
-                  f'resolve={_time.time() - t2:.2f}s', file=_sys.stderr)
-        if not fetch_req and not val_req:
-            break
-        pending = nxt_pending
-        W = min(W * 4, 16384)
-        rounds += 1
-
-    # emit in exact traversal order (identical to the host path)
-    match = set()
-    edges = []
-    node_pos = {}
-
-    def note(n):
-        if n not in node_pos:
-            node_pos[n] = len(node_pos)
-
-    for q in active:
-        for qb, j in embuf[int(q)]:
-            name_a, name_b = qnames_order[int(q)], qnames_order[qb]
-            match.add((name_a, name_b, j))
-            note(name_a)
-            note(name_b)
-            edges.append((name_a, name_b))
-
-    match_df = pd.DataFrame(
-        match, columns=['query1', 'query2', 'jaccard_similarity'])
-    return match_df, edges, node_pos
 
 
 def get_subgraphs(edges, node_pos):

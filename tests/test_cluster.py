@@ -370,3 +370,63 @@ def test_scale_enumeration_matches_host(scale_path, monkeypatch):
             ['query1', 'query2']).reset_index(drop=True)
         pd.testing.assert_frame_equal(mh, mt)
     assert len(results['host'][1]) > 20
+
+
+def test_capwalk_replay_matches_sequential_walk():
+    """The closed-form emission formula (ops/capwalk.py) must equal a
+    literal simulation of the reference's edge-capped walk
+    (/root/reference/fslr/cluster.py:204-224: emit on pass, and once
+    edge_count >= threshold skip the rest of the current interval's
+    neighbors on every valued entry) for adversarial random patterns."""
+    from fslr_tpu.ops import capwalk
+
+    def sequential(passv, gated, runs, bounds, T):
+        E = len(passv)
+        emit = np.zeros(E, bool)
+        R = len(bounds) - 1
+        for q in range(R):
+            lo, hi = bounds[q], bounds[q + 1]
+            ec = 0
+            i = lo
+            while i < hi:
+                if gated[i]:
+                    if passv[i]:
+                        ec += 1
+                        emit[i] = True
+                    if ec >= T:
+                        cur = runs[i]
+                        i += 1
+                        while i < hi and runs[i] == cur:
+                            i += 1
+                        continue
+                i += 1
+        return emit
+
+    rng = np.random.default_rng(123)
+    for trial in range(200):
+        R = int(rng.integers(1, 8))
+        counts = rng.integers(0, 40, R)
+        bounds = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        E = int(bounds[-1])
+        if E == 0:
+            continue
+        # runs: random run lengths within each query
+        runs = np.zeros(E, np.int64)
+        rc = np.zeros(E, bool)
+        rid = 0
+        for q in range(R):
+            i = bounds[q]
+            while i < bounds[q + 1]:
+                ln = int(rng.integers(1, 6))
+                j = min(i + ln, bounds[q + 1])
+                runs[i:j] = rid
+                rc[i] = True
+                rid += 1
+                i = j
+        gated = rng.random(E) < rng.uniform(0.1, 0.9)
+        passv = gated & (rng.random(E) < rng.uniform(0.1, 0.9))
+        T = int(rng.integers(0, 6))
+        eq = np.repeat(np.arange(R), counts)
+        got = capwalk.replay(passv, gated, rc, eq, bounds, T)
+        want = sequential(passv, gated, runs, bounds, T)
+        np.testing.assert_array_equal(got, want, err_msg=f'trial {trial}')
