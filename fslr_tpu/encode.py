@@ -94,6 +94,22 @@ def batch_encode(seqs, length: int, anycase: bool = True) -> tuple[np.ndarray, n
     return batch, lens
 
 
+def encode_cat(seqs, anycase: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a list of strings into ONE concatenated uint8 code array plus
+    (n+1,) int64 offsets — the struct-of-arrays read store used by the
+    align stage (per-read Python encode/copy loops cost ~1 s per 10k reads
+    there; this is one table lookup over the joined bytes)."""
+    joined = ''.join(seqs).encode('ascii')
+    raw = np.frombuffer(joined, dtype=np.uint8)
+    table = _ENC_ANYCASE if anycase else _ENC
+    cat = table[raw]
+    off = np.zeros(len(seqs) + 1, np.int64)
+    if seqs:
+        np.cumsum(np.fromiter(map(len, seqs), np.int64, len(seqs)),
+                  out=off[1:])
+    return cat, off
+
+
 def kmer_codes(codes: np.ndarray, k: int, base: int = NUM_SYMBOLS) -> np.ndarray:
     """Rolling k-mer integer codes (base-5 by default so N participates).
 

@@ -123,6 +123,92 @@ def _overlaps_region(regions, chrom_name, start, end):
     return bool(np.any((iv[:, 0] < end) & (start < iv[:, 1])))
 
 
+@dataclasses.dataclass
+class Cands:
+    """Struct-of-arrays candidate bands, one row per (read, strand,
+    diagonal band) — the dict/tuple-per-candidate representation cost
+    seconds of pure Python per 10k reads (round-2 verdict)."""
+    ridx: np.ndarray     # int64 read index
+    srev: np.ndarray     # bool, reverse strand
+    dga: np.ndarray      # int64 diagonal anchor (global ref coords)
+    cnt: np.ndarray      # int64 seed count
+    qmn: np.ndarray      # int64 min seed query pos (strand orientation)
+    qmx: np.ndarray      # int64 max seed query pos
+
+    def __len__(self):
+        return len(self.ridx)
+
+    def take(self, idx):
+        return Cands(*(getattr(self, f.name)[idx]
+                       for f in dataclasses.fields(self)))
+
+    @staticmethod
+    def concat(parts):
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return _empty_cands()
+        return Cands(*(np.concatenate([getattr(p, f.name) for p in parts])
+                       for f in dataclasses.fields(Cands)))
+
+
+def _empty_cands() -> Cands:
+    return Cands(np.zeros(0, np.int64), np.zeros(0, bool),
+                 np.zeros(0, np.int64), np.zeros(0, np.int64),
+                 np.zeros(0, np.int64), np.zeros(0, np.int64))
+
+
+@dataclasses.dataclass
+class CandAln:
+    """Struct-of-arrays candidate alignments (pre-selection).  CIGAR emit
+    streams stay device-resident: ``emit_buf``/``emit_row`` index into
+    ``emit_bufs``; only selected rows are ever fetched."""
+    read_idx: np.ndarray     # int64
+    strand_rev: np.ndarray   # bool
+    chrom_idx: np.ndarray    # int64
+    rstart: np.ndarray       # int64 contig-local 0-based inclusive
+    rend: np.ndarray         # int64
+    qstart_o: np.ndarray     # int64 record-orientation
+    qend_o: np.ndarray       # int64 exclusive
+    qlen: np.ndarray         # int64
+    score: np.ndarray        # int64
+    emit_buf: np.ndarray     # int32 index into emit_bufs, -1 = none
+    emit_row: np.ndarray     # int32 row within the buffer
+    emit_bufs: list          # device 2-bit emit buffers
+
+    _COLS = ('read_idx', 'strand_rev', 'chrom_idx', 'rstart', 'rend',
+             'qstart_o', 'qend_o', 'qlen', 'score', 'emit_buf',
+             'emit_row')
+
+    def __len__(self):
+        return len(self.read_idx)
+
+    def take(self, idx):
+        return CandAln(*(getattr(self, c)[idx] for c in self._COLS),
+                       self.emit_bufs)
+
+    @staticmethod
+    def concat(parts):
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return _empty_cand_aln()
+        bufs: list = []
+        cols = {c: [] for c in CandAln._COLS}
+        for p in parts:
+            eb = p.emit_buf.copy()
+            eb[eb >= 0] += len(bufs)
+            bufs.extend(p.emit_bufs)
+            for c in CandAln._COLS:
+                cols[c].append(eb if c == 'emit_buf' else getattr(p, c))
+        return CandAln(*(np.concatenate(cols[c]) for c in CandAln._COLS),
+                       bufs)
+
+
+def _empty_cand_aln() -> CandAln:
+    dts = (np.int64, bool, np.int64, np.int64, np.int64, np.int64,
+           np.int64, np.int64, np.int64, np.int32, np.int32)
+    return CandAln(*(np.zeros(0, dt) for dt in dts), [])
+
+
 def align_batch(seqs: list[str], ref: Reference, sidx: SeedIndex,
                 config: PipelineConfig, regions_path: str | None = None,
                 backend: str | None = None,
@@ -136,22 +222,26 @@ def align_batch(seqs: list[str], ref: Reference, sidx: SeedIndex,
     masked-vs-whole-reference candidates (main.py:121-141).  Masked contig
     names must be a subset of the main reference's names.
     """
-    cands = _gather_candidates(seqs, ref, sidx, config, backend)
+    from fslr_tpu.encode import encode_cat
+    cat, off = encode_cat(seqs)
+    ca = _gather_candidates(cat, off, ref, sidx, config, backend)
     if masked is not None:
         mref, msidx = masked
         name_to_idx = {n: i for i, n in enumerate(ref.names)}
-        for a in _gather_candidates(seqs, mref, msidx, config, backend):
-            mname = mref.names[a['chrom_idx']]
-            if mname in name_to_idx:
-                a['chrom_idx'] = name_to_idx[mname]
-                cands.append(a)
-    return _select_and_finalize(cands, ref, config, regions_path)
+        mca = _gather_candidates(cat, off, mref, msidx, config, backend)
+        remap = np.array([name_to_idx.get(n, -1) for n in mref.names],
+                         np.int64)
+        new_ci = remap[mca.chrom_idx]
+        mca = mca.take(np.flatnonzero(new_ci >= 0))
+        mca.chrom_idx = new_ci[new_ci >= 0]
+        ca = CandAln.concat([ca, mca])
+    return _select_and_finalize(ca, ref, config, regions_path)
 
 
-def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
-                       config: PipelineConfig,
-                       backend: str | None = None) -> list[dict]:
-    """Seed + extend: candidate alignments (dicts) against one reference.
+def _gather_candidates(cat: np.ndarray, off: np.ndarray, ref: Reference,
+                       sidx: SeedIndex, config: PipelineConfig,
+                       backend: str | None = None) -> CandAln:
+    """Seed + extend: candidate alignments against one reference.
 
     Sharded indexes (genomes > index.reference.MAX_UNSHARDED_BASES, e.g.
     whole human): candidates are gathered per shard with shard-local int32
@@ -159,51 +249,66 @@ def _gather_candidates(seqs: list[str], ref: Reference, sidx: SeedIndex,
     selection DP then arbitrates across shards exactly as it does across
     the masked/whole candidate pool."""
     if sidx.shards:
-        return _gather_candidates_sharded(seqs, sidx, config, backend)
-    cand_rows, enc_fwd = _seed_rows(seqs, ref, sidx, config, backend)
-    cand_rows = _chain_filter(cand_rows, seqs, config)
-    return _extend_rows(cand_rows, seqs, enc_fwd, ref, sidx, config,
-                        backend)
+        return _gather_candidates_sharded(cat, off, sidx, config, backend)
+    cands = _seed_rows(cat, off, ref, sidx, config, backend)
+    cands = _chain_filter(cands, np.diff(off), config)
+    return _extend_rows(cands, cat, off, ref, sidx, config, backend)
 
 
-def _gather_candidates_sharded(seqs: list[str], sidx: SeedIndex,
-                               config: PipelineConfig,
-                               backend: str | None = None) -> list[dict]:
+def _gather_candidates_sharded(cat: np.ndarray, off: np.ndarray,
+                               sidx: SeedIndex, config: PipelineConfig,
+                               backend: str | None = None) -> CandAln:
     """Seed every shard, merge candidates to the same per-(read, strand)
     budget a single index would have (top max_candidates by seed count —
     per-shard seeding would otherwise grant each shard its own budget and
     emit extra low-support alignments), then extend per shard."""
     acfg = config.align
-    per_shard_rows = []
-    enc_fwd: dict[int, np.ndarray] = {}
-    merged = {}        # (ridx, srev) -> [(cnt, order_key, shard_i, row)]
+    parts = []
+    sids = []
     for si, sh in enumerate(sidx.shards):
-        rows, enc = _seed_rows(seqs, sh.ref, sh.sidx, config, backend)
-        enc_fwd.update(enc)
-        for row in rows:
-            ridx, srev, dga, cnt = row[0], row[1], row[2], row[3]
-            merged.setdefault((ridx, srev), []).append((cnt, si, row))
-    keep_by_shard: list[list] = [[] for _ in sidx.shards]
-    for key, lst in merged.items():
-        lst.sort(key=lambda t: -t[0])
-        for cnt, si, row in lst[:acfg.max_candidates]:
-            keep_by_shard[si].append(row)
-    keep_all = _chain_filter([r for rows in keep_by_shard for r in rows],
-                             seqs, config)
-    kept_keys = {(r[0], r[1], r[2], r[4]) for r in keep_all}
+        c = _seed_rows(cat, off, sh.ref, sh.sidx, config, backend)
+        parts.append(c)
+        sids.append(np.full(len(c), si, np.int32))
+    cands = Cands.concat(parts)
+    sid = (np.concatenate(sids) if sids else np.zeros(0, np.int32))
+    n = len(cands)
+    if n == 0:
+        return _empty_cand_aln()
+    # top max_candidates per (read, strand) by seed count (stable ties)
+    ordr = np.lexsort((np.arange(n), -cands.cnt, cands.srev, cands.ridx))
+    key = cands.ridx[ordr] * 2 + cands.srev[ordr]
+    new_grp = np.ones(n, bool)
+    new_grp[1:] = key[1:] != key[:-1]
+    gstart = np.flatnonzero(new_grp)
+    rank = np.arange(n) - np.repeat(gstart, np.diff(
+        np.concatenate([gstart, [n]])))
+    keep = np.zeros(n, bool)
+    keep[ordr] = rank < acfg.max_candidates
+    cands, sid = cands.take(np.flatnonzero(keep)), sid[keep]
+    ck = _chain_filter_mask(cands, np.diff(off), config)
+    cands, sid = cands.take(np.flatnonzero(ck)), sid[ck]
     out = []
     for si, sh in enumerate(sidx.shards):
-        rows = [r for r in keep_by_shard[si]
-                if (r[0], r[1], r[2], r[4]) in kept_keys]
-        for a in _extend_rows(rows, seqs, enc_fwd, sh.ref,
-                              sh.sidx, config, backend):
-            a['chrom_idx'] += sh.contig_base
-            out.append(a)
-    return out
+        rows = np.flatnonzero(sid == si)
+        if not len(rows):
+            continue
+        a = _extend_rows(cands.take(rows), cat, off, sh.ref, sh.sidx,
+                         config, backend)
+        a.chrom_idx = a.chrom_idx + sh.contig_base
+        out.append(a)
+    return CandAln.concat(out)
 
 
-def _chain_filter(cand_rows: list, seqs: list[str],
-                  config: PipelineConfig) -> list:
+def _chain_filter(cands: Cands, rlens: np.ndarray,
+                  config: PipelineConfig) -> Cands:
+    mask = _chain_filter_mask(cands, rlens, config)
+    if mask is None:
+        return cands
+    return cands.take(np.flatnonzero(mask))
+
+
+def _chain_filter_mask(cands: Cands, rlens: np.ndarray,
+                       config: PipelineConfig):
     """bwa mem chain filtering (mem_chain_flt semantics; reference invokes
     bwa with -D 0.25, /root/reference/fslr/main.py:125): candidate bands of
     a read are visited in seed-count order; a band is dropped when its
@@ -212,38 +317,47 @@ def _chain_filter(cand_rows: list, seqs: list[str],
     bands shadowed by a real segment — 2/3 of all candidates on amplicon
     data — never reach the extension kernel, exactly as bwa never extends
     chains it drops here.  Comparison is across strands in forward-read
-    query coordinates, like bwa's per-read chain list."""
+    query coordinates, like bwa's per-read chain list.  Returns a keep
+    mask over rows (None = keep everything)."""
     acfg = config.align
     mask_level = acfg.chain_mask_level
     drop_ratio = acfg.chain_drop_ratio
-    if drop_ratio <= 0:
-        return cand_rows
-    by_read: dict[int, list[int]] = {}
-    for ci, row in enumerate(cand_rows):
-        by_read.setdefault(row[0], []).append(ci)
-    keep: list = []
-    for ridx, cidxs in by_read.items():
-        L = len(seqs[ridx])
-        spans = []
-        for ci in cidxs:
-            _, srev, _, cnt, qmn, qmx = cand_rows[ci]
-            lo, hi = (L - qmx, L - qmn) if srev else (qmn, qmx)
-            spans.append((cnt, lo, hi, ci))
-        spans.sort(key=lambda t: -t[0])
-        kept: list[tuple] = []
-        for cnt, lo, hi, ci in spans:
+    n = len(cands)
+    if drop_ratio <= 0 or n == 0:
+        return None
+    L = rlens[cands.ridx]
+    lo_a = np.where(cands.srev, L - cands.qmx, cands.qmn)
+    hi_a = np.where(cands.srev, L - cands.qmn, cands.qmx)
+    ordr = np.lexsort((np.arange(n), -cands.cnt, cands.ridx))
+    rs = cands.ridx[ordr]
+    gb = np.ones(n, bool)
+    gb[1:] = rs[1:] != rs[:-1]
+    gstart = np.flatnonzero(gb)
+    gend = np.concatenate([gstart[1:], [n]])
+    keep = np.zeros(n, bool)
+    cnt_s = cands.cnt[ordr]
+    lo_s = lo_a[ordr]
+    hi_s = hi_a[ordr]
+    for s, e in zip(gstart, gend):
+        kept_cnt: list = []
+        kept_lo: list = []
+        kept_hi: list = []
+        for t in range(s, e):
+            lo, hi, cnt = lo_s[t], hi_s[t], cnt_s[t]
             span = max(hi - lo, 1)
             shadowed = False
-            for kcnt, klo, khi in kept:
+            for kcnt, klo, khi in zip(kept_cnt, kept_lo, kept_hi):
                 ov = min(hi, khi) - max(lo, klo)
                 if ov >= mask_level * span and cnt < drop_ratio * kcnt:
                     shadowed = True
                     break
             if not shadowed:
-                kept.append((cnt, lo, hi))
-                keep.append(ci)
-    keep.sort()
-    return [cand_rows[ci] for ci in keep]
+                kept_cnt.append(cnt)
+                kept_lo.append(lo)
+                kept_hi.append(hi)
+                keep[ordr[t]] = True
+    return keep
+
 
 
 def _seed_kernel(reads, lens, counts, positions, k, stride, occ_drop,
@@ -288,44 +402,62 @@ def _occ_cap(sidx: SeedIndex, acfg) -> int:
     return c
 
 
-def _seed_rows(seqs: list[str], ref: Reference, sidx: SeedIndex,
-               config: PipelineConfig, backend: str | None = None):
-    """Device seeding -> candidate tuples
-    (read_idx, strand_rev, diag_anchor, count, qmin, qmax) + encode cache."""
+def _seed_rows(cat: np.ndarray, off: np.ndarray, ref: Reference,
+               sidx: SeedIndex, config: PipelineConfig,
+               backend: str | None = None) -> Cands:
+    """Device seeding of both strands -> candidate diagonal bands.
+
+    ``cat``/``off`` are the concatenated read codes + offsets
+    (encode.encode_cat); batch rows are assembled with strided gathers
+    over ``cat`` — per-row Python fills cost ~1 s per 10k reads
+    (round-2 verdict item 3)."""
     import jax.numpy as jnp
     acfg = config.align
-    k = sidx.k
+    k = acfg.seed_k
     _, counts_j, pos_j = _device_arrays(ref, sidx)
     occ_cap = _occ_cap(sidx, acfg)
 
+    n_reads = len(off) - 1
+    rlens = np.diff(off)
     # ---- bucket reads by length ---------------------------------------
     buckets: dict[int, list[int]] = {}
-    for i, s in enumerate(seqs):
-        L = bucket_length(max(len(s), k + 1), config.batch.length_buckets)
+    for i in range(n_reads):
+        L = bucket_length(max(int(rlens[i]), k + 1),
+                          config.batch.length_buckets)
         buckets.setdefault(L, []).append(i)
 
-    cand_rows = []   # (read_idx, strand_rev, diag_anchor, count)
-    enc_fwd: dict[int, np.ndarray] = {}
+    col_r: list = []
+    col_s: list = []
+    col_d: list = []
+    col_c: list = []
+    col_mn: list = []
+    col_mx: list = []
     _KEYS = ('valid', 'count', 'diag', 'qmin', 'qmax')
     seed_pending = []     # (part, step, nb, packed-device-array)
+    ar_cache: dict[int, np.ndarray] = {}
     for L, idxs in sorted(buckets.items()):
         S = max(1, (L - k) // acfg.seed_stride + 1)
         step = max(1, min(config.batch.batch_size,
                           (1 << 23) // max(S * occ_cap, 1)))
-        for off in range(0, len(idxs), step):
-            part = idxs[off:off + step]
-            fwd = [encode(seqs[i]) for i in part]
-            for i, f in zip(part, fwd):
-                enc_fwd[i] = f
-            rc = [revcomp(f) for f in fwd]
-            both = fwd + rc
-            # fixed batch shape (2*step rows) so seeding compiles once
+        ar = ar_cache.setdefault(L, np.arange(L, dtype=np.int64))
+        for o in range(0, len(idxs), step):
+            part = np.asarray(idxs[o:o + step], np.int64)
+            nb = len(part)
+            lf = rlens[part]
+            lw = np.minimum(lf, L)
             arr = np.full((2 * step, L), 4, dtype=np.uint8)
             lens = np.zeros(2 * step, dtype=np.int32)
-            for r, c in enumerate(both):
-                row = r if r < len(fwd) else step + (r - len(fwd))
-                arr[row, :len(c)] = c[:L]
-                lens[row] = min(len(c), L)
+            m = ar[None, :] < lw[:, None]
+            fidx = off[part][:, None] + ar[None, :]
+            fv = cat[np.minimum(fidx, len(cat) - 1)]
+            arr[:nb] = np.where(m, fv, 4)
+            # reverse-complement rows: rc[j] = comp(fwd[len-1-j])
+            ridx2 = off[part][:, None] + (lf[:, None] - 1 - ar[None, :])
+            rv = cat[np.clip(ridx2, 0, len(cat) - 1)]
+            rv = np.where(rv < 4, 3 - rv, 4).astype(np.uint8)
+            arr[step:step + nb] = np.where(m, rv, 4)
+            lens[:nb] = lw
+            lens[step:step + nb] = lw
             res = dispatch.dp_call(
                 _seed_kernel, (jnp.asarray(arr), jnp.asarray(lens)),
                 (counts_j, pos_j),
@@ -333,7 +465,7 @@ def _seed_rows(seqs: list[str], ref: Reference, sidx: SeedIndex,
                          acfg.max_candidates, S, occ_cap))
             # pack to ONE device array -> one host fetch per batch
             packed = jnp.stack([res[kk].astype(jnp.int32) for kk in _KEYS])
-            seed_pending.append((part, step, len(part), packed))
+            seed_pending.append((part, step, nb, packed))
 
     # ONE device->host transfer for all seed batches (the TPU tunnel has
     # ~1 s/fetch latency; per-batch fetches dominated the align stage)
@@ -357,121 +489,142 @@ def _seed_rows(seqs: list[str], ref: Reference, sidx: SeedIndex,
               & (qmax_a - qmin_a >= acfg.min_band_span)
               & (ridx_row[:, None] >= 0))
         rr, cc = np.nonzero(ok)
-        cand_rows.extend(zip(
-            ridx_row[rr].tolist(), srev_row[rr].tolist(),
-            diag_a[rr, cc].tolist(), count_a[rr, cc].tolist(),
-            qmin_a[rr, cc].tolist(), qmax_a[rr, cc].tolist()))
-    return cand_rows, enc_fwd
+        col_r.append(ridx_row[rr])
+        col_s.append(srev_row[rr])
+        col_d.append(diag_a[rr, cc].astype(np.int64))
+        col_c.append(count_a[rr, cc].astype(np.int64))
+        col_mn.append(qmin_a[rr, cc].astype(np.int64))
+        col_mx.append(qmax_a[rr, cc].astype(np.int64))
+    if not col_r:
+        return _empty_cands()
+    return Cands(np.concatenate(col_r), np.concatenate(col_s),
+                 np.concatenate(col_d), np.concatenate(col_c),
+                 np.concatenate(col_mn), np.concatenate(col_mx))
 
 
-def _extend_rows(cand_rows: list, seqs: list[str], enc_fwd: dict,
+
+def _extend_rows(cands: Cands, cat: np.ndarray, off: np.ndarray,
                  ref: Reference, sidx: SeedIndex, config: PipelineConfig,
-                 backend: str | None = None) -> list[dict]:
+                 backend: str | None = None) -> CandAln:
     acfg = config.align
     genome_j, _, _ = _device_arrays(ref, sidx)
     contig_starts = ref.offsets[:-1]
     contig_ends = ref.offsets[1:]
-    if not cand_rows:
-        return []
+    n = len(cands)
+    if n == 0:
+        return _empty_cand_aln()
 
     # ---- extension: ONE traceback-kernel pass per candidate -----------
     # Each candidate extends only the seed-supported query slice
     # [qmin - margin, qmax + margin) (split segments don't pay for the
     # whole read), and begins + CIGARs come from the traceback walk — no
-    # reverse pass, no separate CIGAR pass.
+    # reverse pass, no separate CIGAR pass.  All batch assembly is
+    # vectorized: query windows are strided gathers over the concatenated
+    # read codes (forward or reverse-complement via index direction).
     from fslr_tpu.ops import traceback as tbmod
 
     margin = acfg.extension_margin
-    all_aln = []      # dicts per candidate alignment
-    by_bucket: dict[int, list[int]] = {}
-    slices = []       # (qlo, qhi) per candidate
-    for ci, (ridx, srev, dga, cnt, qmn, qmx) in enumerate(cand_rows):
-        Lq = len(seqs[ridx])
-        qlo = max(0, qmn - margin)
-        qhi = min(Lq, qmx + margin)
-        slices.append((qlo, qhi))
-        SL = bucket_length(max(qhi - qlo, 1), _SLICE_BUCKETS)
-        by_bucket.setdefault(SL, []).append(ci)
+    Lq = np.diff(off)[cands.ridx]
+    qlo = np.maximum(0, cands.qmn - margin)
+    qhi = np.minimum(Lq, cands.qmx + margin)
+    sl_arr = np.asarray(_SLICE_BUCKETS, np.int64)
+    sl_of = sl_arr[np.minimum(
+        np.searchsorted(sl_arr, np.maximum(qhi - qlo, 1)),
+        len(sl_arr) - 1)]
+    ws_all = cands.dga + qlo - banded.BW // 2
+    mid = cands.dga + (qlo + qhi) // 2
+    ci_mid = np.clip(np.searchsorted(ref.offsets, mid, side='right') - 1,
+                     0, len(ref.names) - 1)
+    cmin_all = contig_starts[ci_mid]
+    cmax_all = contig_ends[ci_mid]
+    qlens_all = qhi - qlo
 
     # Phase A: dispatch every chunk (windows gathered on device from the
     # device-resident genome; results stay on device).  Phase B: fetch ALL
     # chunks' results in TWO transfers (one int32 concat, one uint8
     # concat) — per-chunk fetches cost ~1 s each over the TPU tunnel and
     # dominated this stage.
-    pending = []      # (chunk, ws, SL, device packed, device emits)
-    for SL, cidxs in sorted(by_bucket.items()):
+    pending = []      # (chunk idx array, device packed, chunk id)
+    emit_bufs: list = []
+    for SL in np.unique(sl_of):
+        cidxs = np.flatnonzero(sl_of == SL)
+        SL = int(SL)
         # chunk rows so device-resident traceback bits stay bounded
         # (~SL*16 int32 per row; bits never leave the device)
         rows_per = max(128, min(8192, (1 << 28) // max(SL * 64, 1)))
-        for off in range(0, len(cidxs), rows_per):
-            chunk = cidxs[off:off + rows_per]
-            N = len(chunk)
-            q = np.full((N, SL), 4, dtype=np.uint8)
-            qlens = np.zeros(N, dtype=np.int32)
-            ws = np.zeros(N, dtype=np.int64)
-            cmin = np.zeros(N, dtype=np.int64)
-            cmax = np.zeros(N, dtype=np.int64)
-            for r, ci in enumerate(chunk):
-                ridx, srev, dga, cnt, qmn, qmx = cand_rows[ci]
-                qlo, qhi = slices[ci]
-                f = enc_fwd[ridx]
-                codes = (revcomp(f) if srev else f)[qlo:qhi]
-                q[r, :len(codes)] = codes
-                qlens[r] = len(codes)
-                ws[r] = dga + qlo - banded.BW // 2
-                ci_ref = np.searchsorted(ref.offsets,
-                                         dga + (qlo + qhi) // 2,
-                                         side='right') - 1
-                ci_ref = min(max(ci_ref, 0), len(ref.names) - 1)
-                cmin[r] = contig_starts[ci_ref]
-                cmax[r] = contig_ends[ci_ref]
+        ar = np.arange(SL, dtype=np.int64)
+        for o in range(0, len(cidxs), rows_per):
+            chunk = cidxs[o:o + rows_per]
+            ri = cands.ridx[chunk]
+            sv = cands.srev[chunk]
+            ql = qlo[chunk]
+            qlens = np.minimum(qlens_all[chunk], SL).astype(np.int32)
+            # fwd rows read cat[off+qlo+j]; rc rows read the read's
+            # reverse complement: rc[qlo+j] = comp(fwd[L-1-qlo-j])
+            start_f = off[ri] + ql
+            start_r = off[ri] + (Lq[chunk] - 1 - ql)
+            pos = np.where(sv[:, None],
+                           start_r[:, None] - ar[None, :],
+                           start_f[:, None] + ar[None, :])
+            v = cat[np.clip(pos, 0, len(cat) - 1)]
+            v = np.where(sv[:, None] & (v < 4), 3 - v, v).astype(np.uint8)
+            q = np.where(ar[None, :] < qlens[:, None], v, 4)
             packed_t, emits = dispatch.dp_call(
-                _extend_kernel, (q, qlens, ws, cmin, cmax), (genome_j,),
-                statics=(acfg.scoring, backend))
+                _extend_kernel,
+                (q, qlens, ws_all[chunk], cmin_all[chunk],
+                 cmax_all[chunk]),
+                (genome_j,), statics=(acfg.scoring, backend))
             instrument.add_cells(int(qlens.sum(dtype=np.int64))
                                  * banded.BW, 'extend')
-            pending.append((chunk, ws, packed_t.T, emits))
+            pending.append((chunk, packed_t.T, len(emit_bufs)))
+            emit_bufs.append(emits)
 
     # Fetch ONLY the packed score columns here (6 int32/row); emit streams
     # stay device-resident — selection drops most candidates, so the
     # selected rows are device-gathered and fetched afterwards in one
     # transfer (_fetch_selected_emits).
-    if pending:
-        import jax.numpy as jnp
-        all_p = np.asarray(jnp.concatenate(
-            [p.reshape(-1) for (_, _, p, _) in pending]))
+    import jax.numpy as jnp
+    all_p = np.asarray(jnp.concatenate(
+        [p.reshape(-1) for (_, p, _) in pending]))
     po = 0
-    for chunk, ws, packed, emits in pending:
+    parts = []
+    for chunk, packed, buf_id in pending:
         psz = int(np.prod(packed.shape))
         p_np = all_p[po:po + psz].reshape(packed.shape)
         po += psz
         score, qend, lane, qstart_c, l_fin = tbmod.finalize_scores(p_np)
-        for r, ci in enumerate(chunk):
-            ridx, srev, dga, cnt, qmn, qmx = cand_rows[ci]
-            if score[r] <= 0:
-                continue
-            qlo, qhi = slices[ci]
-            Lq = len(seqs[ridx])
-            qbegin_s = int(qstart_c[r])
-            rbegin = int(ws[r]) + qbegin_s + int(l_fin[r])
-            rend = int(ws[r]) + int(qend[r]) + int(lane[r])
-            cidx_ref = int(np.searchsorted(ref.offsets, rbegin,
-                                           side='right') - 1)
-            cidx_ref = min(max(cidx_ref, 0), len(ref.names) - 1)
-            lo = int(ref.offsets[cidx_ref])
-            all_aln.append(dict(
-                read_idx=ridx, strand_rev=srev,
-                chrom_idx=cidx_ref,
-                rstart=rbegin - lo,
-                rend=rend - lo,
-                qstart_o=qlo + qbegin_s,
-                qend_o=qlo + int(qend[r]) + 1,
-                qlen=Lq,
-                score=int(score[r]),
-                emit_dev=emits,         # device 2-bit emit buffer
-                emit_row=r))            # CIGAR decodes lazily if selected
+        keep = np.flatnonzero(score > 0)
+        if not len(keep):
+            continue
+        ck = chunk[keep]
+        sc = score[keep].astype(np.int64)
+        qb = qstart_c[keep].astype(np.int64)
+        qe = qend[keep].astype(np.int64)
+        rbegin = ws_all[ck] + qb + l_fin[keep]
+        rend = ws_all[ck] + qe + lane[keep]
+        ci_ref = np.clip(
+            np.searchsorted(ref.offsets, rbegin, side='right') - 1,
+            0, len(ref.names) - 1)
+        lo_c = ref.offsets[ci_ref]
+        parts.append(CandAln(
+            read_idx=cands.ridx[ck],
+            strand_rev=cands.srev[ck],
+            chrom_idx=ci_ref.astype(np.int64),
+            rstart=rbegin - lo_c,
+            rend=rend - lo_c,
+            qstart_o=qlo[ck] + qb,
+            qend_o=qlo[ck] + qe + 1,
+            qlen=Lq[ck],
+            score=sc,
+            emit_buf=np.full(len(ck), buf_id, np.int32),
+            emit_row=keep.astype(np.int32),
+            emit_bufs=[]))
+    if not parts:
+        return _empty_cand_aln()
+    out_cols = {c: np.concatenate([getattr(p, c) for p in parts])
+                for c in CandAln._COLS}
+    return CandAln(*(out_cols[c] for c in CandAln._COLS), emit_bufs)
 
-    return all_aln
 
 
 def _empty_alignments() -> Alignments:
@@ -480,65 +633,73 @@ def _empty_alignments() -> Alignments:
                         + (np.int32,) + (bool, bool)])
 
 
-def _select_and_finalize(all_aln: list[dict], ref: Reference,
+def _select_and_finalize(ca: CandAln, ref: Reference,
                          config: PipelineConfig,
                          regions_path: str | None) -> Alignments:
     acfg = config.align
     regions = _build_regions(regions_path, ref.names)
-    if not all_aln:
+    if len(ca) == 0:
         return _empty_alignments()
 
-    # ---- dedup identical alignments -----------------------------------
-    seen = set()
-    uniq = []
-    for a in all_aln:
-        key = (a['read_idx'], a['strand_rev'], a['chrom_idx'], a['rstart'],
-               a['rend'], a['qstart_o'], a['qend_o'])
-        if key in seen:
-            continue
-        seen.add(key)
-        uniq.append(a)
-    all_aln = uniq
+    # ---- dedup identical alignments (keep first occurrence, in order) --
+    packed = np.empty((len(ca), 7), np.int64)
+    for c, col in enumerate(('read_idx', 'strand_rev', 'chrom_idx',
+                             'rstart', 'rend', 'qstart_o', 'qend_o')):
+        packed[:, c] = getattr(ca, col)
+    _, first = np.unique(packed, axis=0, return_index=True)
+    ca = ca.take(np.sort(first))
+    n = len(ca)
 
     # ---- selection DP per read ----------------------------------------
-    from collections import Counter
-    per_read_counts = Counter(a['read_idx'] for a in all_aln)
-    reads = sorted(per_read_counts)
-    rmap = {r: i for i, r in enumerate(reads)}
-    C = min(64, max(max(per_read_counts.values()), 1))
+    reads = np.unique(ca.read_idx)
+    b = np.searchsorted(reads, ca.read_idx)
     B = len(reads)
+    cnts = np.bincount(b, minlength=B)
+    C = min(64, max(int(cnts.max()), 1))
+    # candidate slot = rank within read in encounter order; ranks >= C
+    # overflow and are dropped from selection (but still count as
+    # sub-optimal hits for MAPQ, like before)
+    ordb = np.argsort(b, kind='stable')
+    gstart = np.zeros(B + 1, np.int64)
+    np.cumsum(cnts, out=gstart[1:])
+    within = np.arange(n) - np.repeat(gstart[:-1], cnts)
+    cslot = np.empty(n, np.int64)
+    cslot[ordb] = within
+    val = cslot < C
+
+    # query overlap coordinates on the FORWARD read
+    fs = np.where(ca.strand_rev, ca.qlen - ca.qend_o, ca.qstart_o)
+    fe = np.where(ca.strand_rev, ca.qlen - ca.qstart_o, ca.qend_o)
+
+    # region overlap (closed intervals, pd.Interval semantics)
+    ov_any = np.zeros(n, bool)
+    if regions:
+        name_idx = {nm: i for i, nm in enumerate(ref.names)}
+        for cname, iv in regions.items():
+            ci = name_idx[cname]
+            m = np.flatnonzero(ca.chrom_idx == ci)
+            if not len(m):
+                continue
+            s_ = ca.rstart[m] + 1
+            e_ = ca.rend[m] + 1
+            acc = np.zeros(len(m), bool)
+            for a0, b0 in iv:
+                acc |= (a0 < e_) & (s_ < b0)
+            ov_any[m] = acc
+
     qs = np.zeros((B, C), np.int32)
     qe = np.zeros((B, C), np.int32)
     sc = np.zeros((B, C), np.float32)
     bias = np.ones((B, C), np.float32)
     vmask = np.zeros((B, C), bool)
-    slots: dict[int, list[int]] = {r: [] for r in reads}
-    slot_of = []
-    for ai, a in enumerate(all_aln):
-        b = rmap[a['read_idx']]
-        lst = slots[a['read_idx']]
-        if len(lst) >= C:
-            slot_of.append(None)        # overflow: drop lowest-priority
-            continue
-        cslot = len(lst)
-        lst.append(ai)
-        slot_of.append((b, cslot))
-        # query overlap coordinates on the FORWARD read
-        if a['strand_rev']:
-            fs = a['qlen'] - a['qend_o']
-            fe = a['qlen'] - a['qstart_o']
-        else:
-            fs, fe = a['qstart_o'], a['qend_o']
-        qs[b, cslot] = fs
-        qe[b, cslot] = fe
-        sc[b, cslot] = a['score']
-        vmask[b, cslot] = True
-        if regions:
-            chrom_name = ref.names[a['chrom_idx']]
-            if _overlaps_region(regions, chrom_name, a['rstart'] + 1,
-                                a['rend'] + 1):
-                bias[b, cslot] = acfg.bias
-                a['overlaps_region'] = True
+    bb, cc = b[val], cslot[val]
+    qs[bb, cc] = fs[val]
+    qe[bb, cc] = fe[val]
+    sc[bb, cc] = ca.score[val]
+    vmask[bb, cc] = True
+    if regions:
+        bias[bb, cc] = np.where(ov_any[val], np.float32(acfg.bias),
+                                np.float32(1.0))
 
     # bias of all-ones is numerically identical to bias=None (score * 1.0
     # in float32 is exact), so the kernel signature stays fixed for the
@@ -547,45 +708,36 @@ def _select_and_finalize(all_aln: list[dict], ref: Reference,
         _select_kernel, (qs, qe, sc, vmask, bias),
         statics=(acfg.ol_cost, acfg.max_overlap,
                  acfg.min_selected_score)))
+    sel_mask = np.zeros(n, bool)
+    sel_mask[val] = chosen[bb, cc]
+    sel_idx = np.flatnonzero(sel_mask)
+    n_sel = len(sel_idx)
+    cigars = _fetch_selected_emits(ca, sel_idx)
 
-    sel = []
-    for ai, a in enumerate(all_aln):
-        so = slot_of[ai]
-        if so is None:
-            continue
-        b, cslot = so
-        if chosen[b, cslot]:
-            sel.append(a)
-    _fetch_selected_emits(sel)
-
-    # primary = max original score per read; mapq from best overlapping
-    # unselected candidate
     out = Alignments(
-        read_idx=np.array([a['read_idx'] for a in sel], np.int32),
-        chrom_idx=np.array([a['chrom_idx'] for a in sel], np.int32),
-        rstart=np.array([a['rstart'] for a in sel], np.int32),
-        rend=np.array([a['rend'] for a in sel], np.int32),
-        strand_rev=np.array([a['strand_rev'] for a in sel], bool),
-        qstart_o=np.array([a['qstart_o'] for a in sel], np.int32),
-        qend_o=np.array([a['qend_o'] for a in sel], np.int32),
-        qlen=np.array([a['qlen'] for a in sel], np.int32),
-        score=np.array([a['score'] for a in sel], np.int32),
-        mapq=np.zeros(len(sel), np.int32),
-        is_primary=np.zeros(len(sel), bool),
-        overlaps_region=np.array([a.get('overlaps_region', False)
-                                  for a in sel], bool),
-        cigars=[a.get('cigar') for a in sel],
+        read_idx=ca.read_idx[sel_idx].astype(np.int32),
+        chrom_idx=ca.chrom_idx[sel_idx].astype(np.int32),
+        rstart=ca.rstart[sel_idx].astype(np.int32),
+        rend=ca.rend[sel_idx].astype(np.int32),
+        strand_rev=ca.strand_rev[sel_idx],
+        qstart_o=ca.qstart_o[sel_idx].astype(np.int32),
+        qend_o=ca.qend_o[sel_idx].astype(np.int32),
+        qlen=ca.qlen[sel_idx].astype(np.int32),
+        score=ca.score[sel_idx].astype(np.int32),
+        mapq=np.zeros(n_sel, np.int32),
+        is_primary=np.zeros(n_sel, bool),
+        overlaps_region=ov_any[sel_idx],
+        cigars=cigars,
     )
     # primary = first max-score alignment per read (argmax tie semantics):
     # stable grouped sort instead of a per-read boolean mask (that scan is
     # O(reads x selected) — quadratic at 10k+ reads)
-    n_sel = len(out)
     if n_sel:
         ordr = np.lexsort((np.arange(n_sel), -out.score, out.read_idx))
         rid_s = out.read_idx[ordr]
-        first = np.ones(n_sel, bool)
-        first[1:] = rid_s[1:] != rid_s[:-1]
-        out.is_primary[ordr[first]] = True
+        first_m = np.ones(n_sel, bool)
+        first_m[1:] = rid_s[1:] != rid_s[:-1]
+        out.is_primary[ordr[first_m]] = True
     # mapq: bwa-mem-style single-end model (see module docstring),
     # vectorized — per-selected Python scans of the read's unselected
     # candidates cost ~1 s at 10k reads
@@ -593,23 +745,17 @@ def _select_and_finalize(all_aln: list[dict], ref: Reference,
     mismatch_b = abs(acfg.scoring.mismatch)   # bwa's b is a penalty (+3)
     sub_floor = acfg.seed_k * match_a
     if n_sel:
-        uns = [a for ai, a in enumerate(all_aln)
-               if slot_of[ai] is None
-               or not chosen[slot_of[ai][0]][slot_of[ai][1]]]
-        fs_sel = np.where(out.strand_rev, out.qlen - out.qend_o,
-                          out.qstart_o).astype(np.int64)
-        fe_sel = np.where(out.strand_rev, out.qlen - out.qstart_o,
-                          out.qend_o).astype(np.int64)
+        fs_sel = fs[sel_idx].astype(np.int64)
+        fe_sel = fe[sel_idx].astype(np.int64)
         span = fe_sel - fs_sel
         s2 = np.zeros(n_sel, np.int64)
         sub_n = np.zeros(n_sel, np.int64)
-        if uns:
-            u_read = np.array([a['read_idx'] for a in uns], np.int64)
-            u_fs = np.array([a['qlen'] - a['qend_o'] if a['strand_rev']
-                             else a['qstart_o'] for a in uns], np.int64)
-            u_fe = np.array([a['qlen'] - a['qstart_o'] if a['strand_rev']
-                             else a['qend_o'] for a in uns], np.int64)
-            u_sc = np.array([a['score'] for a in uns], np.int64)
+        uns = np.flatnonzero(~sel_mask)
+        if len(uns):
+            u_read = ca.read_idx[uns]
+            u_fs = fs[uns]
+            u_fe = fe[uns]
+            u_sc = ca.score[uns]
             uo = np.argsort(u_read, kind='stable')
             u_read, u_fs, u_fe, u_sc = (u_read[uo], u_fs[uo], u_fe[uo],
                                         u_sc[uo])
@@ -644,6 +790,7 @@ def _select_and_finalize(all_aln: list[dict], ref: Reference,
     return out
 
 
+
 # bwa-mem mapQ model constants (mem_approx_mapq_se defaults):
 # score-gap scale 6.02/match, identity damping for alignments longer than
 # 50 bp via (log 50 / log l)^?, and a 4.343*ln(n_sub+1) crowd penalty.
@@ -669,36 +816,40 @@ def _bwa_style_mapq(s1: int, s2: int, qspan: int, rspan: int,
     return int(min(60, max(0, mapq)))
 
 
-def _fetch_selected_emits(sel: list[dict]):
+def _fetch_selected_emits(ca: CandAln, sel_idx: np.ndarray):
     """Decode CIGARs for selected alignments only: device-gather their
     rows from the (still device-resident) 2-bit emit buffers and fetch
     everything in ONE transfer — unselected candidates' emit streams never
-    cross the TPU link."""
+    cross the TPU link.  Returns a per-selected list of CIGAR op lists
+    (None where no emit stream exists)."""
     from fslr_tpu.ops import traceback as tbmod
-    need = [a for a in sel
-            if 'cigar' not in a and a.get('emit_dev') is not None]
-    if not need:
-        return
+    cigars: list = [None] * len(sel_idx)
+    if not len(sel_idx) or not ca.emit_bufs:
+        return cigars
+    bufs = ca.emit_buf[sel_idx]
+    rows = ca.emit_row[sel_idx]
+    need = np.flatnonzero(bufs >= 0)
+    if not len(need):
+        return cigars
     import jax.numpy as jnp
-    groups: dict[int, tuple] = {}
-    for a in need:
-        groups.setdefault(id(a['emit_dev']), (a['emit_dev'], []))[1] \
-            .append(a)
     flats = []
-    for dev, alns in groups.values():
-        rows = jnp.asarray(np.array([a['emit_row'] for a in alns],
-                                    np.int32))
-        flats.append(jnp.take(dev, rows, axis=0).reshape(-1))
+    groups = []          # (positions into cigars, row width)
+    for bid in np.unique(bufs[need]):
+        g = need[bufs[need] == bid]
+        dev = ca.emit_bufs[bid]
+        flats.append(jnp.take(dev, jnp.asarray(rows[g]), axis=0)
+                     .reshape(-1))
+        groups.append((g, int(dev.shape[1])))
     flat = np.asarray(jnp.concatenate(flats) if len(flats) > 1
                       else flats[0])
-    off = 0
-    for dev, alns in groups.values():
-        t4 = int(dev.shape[1])
-        block = flat[off:off + len(alns) * t4].reshape(len(alns), t4)
-        off += len(alns) * t4
-        for a, row in zip(alns, block):
-            a['cigar'] = tbmod.decode_emit_row(row)
-            a['emit_dev'] = None        # release the device buffer ref
+    o = 0
+    for g, t4 in groups:
+        block = flat[o:o + len(g) * t4].reshape(len(g), t4)
+        o += len(g) * t4
+        for p, row in zip(g, block):
+            cigars[p] = tbmod.decode_emit_row(row)
+    return cigars
+
 
 
 def _fwd_span(out: Alignments, i: int):

@@ -64,21 +64,28 @@ def _dispatch_side(reads, targets, window, scoring, side: str,
     n = reads.n
     m = len(targets)
     NW = n * m
-    q = np.full((NW, 128), 4, dtype=np.uint8)
-    t = np.full((NW, 512), 4, dtype=np.uint8)
-    qlens = np.zeros(NW, dtype=np.int32)
-    tlens = np.zeros(NW, dtype=np.int32)
-    for i in range(n):
-        codes = reads.seq_codes(i)
-        L = len(codes)
-        space = min(L // 2, window)
-        w = codes[:space] if side == 'start' else codes[L - space:]
-        for j, tc in enumerate(targets):
-            r = i * m + j
-            t[r, :len(w)] = w
-            tlens[r] = len(w)
-            q[r, :len(tc)] = tc
-            qlens[r] = len(tc)
+    # windows are per READ (identical across the m targets): build each
+    # once with a strided gather over the columnar codes, then repeat —
+    # the per-(read x target) fill loop cost ~1 s per 10k reads
+    cat = reads.codes
+    off = reads.seq_off
+    L = np.diff(off).astype(np.int64)
+    space = np.minimum(L // 2, window)
+    ar = np.arange(512, dtype=np.int64)
+    start = off[:-1] if side == 'start' else off[1:] - space
+    pos = start[:, None] + ar[None, :]
+    wv = cat[np.minimum(pos, max(len(cat) - 1, 0))] if len(cat) else \
+        np.full((n, 512), 4, np.uint8)
+    win = np.where(ar[None, :] < space[:, None], wv, 4).astype(np.uint8)
+    t = np.repeat(win, m, axis=0)
+    tlens = np.repeat(space.astype(np.int32), m)
+    qmat = np.full((m, 128), 4, dtype=np.uint8)
+    qlen1 = np.zeros(m, np.int32)
+    for j, tc in enumerate(targets):
+        qmat[j, :len(tc)] = tc
+        qlen1[j] = len(tc)
+    q = np.tile(qmat, (n, 1))
+    qlens = np.tile(qlen1, n)
     outs = []
     off = 0
     while off < NW:
@@ -191,37 +198,52 @@ def label_and_chop(reads, panel: PrimerPanel,
     # last max wins (stable sort + take-last in the reference)
     best = sums.shape[1] - 1 - np.argmax(sums[:, ::-1], axis=1)
 
+    # ---- vectorized trim/label math (the per-read float conversions
+    # and round() calls cost ~1 s per 10k reads) ----------------------
+    nR = reads.n
+    ai = np.arange(nR)
+    t1 = p1_idx[best]
+    t2 = p2_idx[best]
+    sc1 = a1['score'].astype(np.float64)[ai, t1] / max_score[t1]
+    sc2 = a2['score'].astype(np.float64)[ai, t2] / max_score[t2]
+    f1 = sc1 < cfg.trim_threshold
+    f2 = sc2 < cfg.trim_threshold
+    L_all = np.diff(reads.seq_off).astype(np.int64)
+    p2_space = np.minimum(L_all // 2, cfg.search_window)
+    tb = a1['target_begin'][ai, t1].astype(np.int64)
+    te = (L_all - p2_space
+          + a2['target_end'][ai, t2].astype(np.int64))
+    no_primer = f1 & f2
+    tb_eff = np.where(no_primer, 0, tb)
+    te_eff = np.where(no_primer, L_all, te)
+    trimmed = tb_eff + (L_all - te_eff)
+    has_primer = ~no_primer
+    counters['starting_bases'] = int(L_all.sum())
+    counters['trimmed_bases'] = int(trimmed.sum())
+    counters['trimmed_reads'] = int((trimmed > 0).sum())
+    lab1_by_pair = [k1 + st1 for (_, _, k1, _, st1, _) in pair_defs]
+    lab2_by_pair = [k2 + st2 for (_, _, _, k2, _, st2) in pair_defs]
+    lab1 = np.array(lab1_by_pair, object)[best]
+    lab2 = np.array(lab2_by_pair, object)[best]
+    lab1[f1] = 'False'
+    lab2[f2] = 'False'
+    r1_all = np.round(sc1, 2)
+    r2_all = np.round(sc2, 2)
+    combos, combo_counts = np.unique(
+        np.array([f'{x}_{y}' for x, y in zip(lab1, lab2)], object),
+        return_counts=True)
+    for cb, ct in zip(combos, combo_counts):
+        counters[str(cb)] += int(ct)
+
     out_records = []
-    has_primer = np.zeros(reads.n, dtype=bool)
-    for i in range(reads.n):
-        b = int(best[i])
-        t1, t2, k1, k2, st1, st2 = pair_defs[b]
-        sc1 = float(a1['score'][i, t1]) / float(max_score[t1])
-        sc2 = float(a2['score'][i, t2]) / float(max_score[t2])
-        name1 = 'False' if sc1 < cfg.trim_threshold else k1 + st1
-        name2 = 'False' if sc2 < cfg.trim_threshold else k2 + st2
-        r1, r2 = round(sc1, 2), round(sc2, 2)
-        codes = reads.seq_codes(i)
-        lower = reads.lower_mask(i)
-        L = len(codes)
-        counters['starting_bases'] += L
+    for i in range(nR):
+        codes = reads.seq_codes(i)[tb_eff[i]:te_eff[i]]
+        lower = reads.lower_mask(i)[tb_eff[i]:te_eff[i]]
         qual = reads.qual(i)
-        trimmed = 0
-        if not (name1 == 'False' and name2 == 'False'):
-            p2_space = min(L // 2, cfg.search_window)
-            tb = int(a1['target_begin'][i, t1])
-            te = L - p2_space + int(a2['target_end'][i, t2])
-            trimmed = tb + (L - te)
-            codes = codes[tb:te]
-            lower = lower[tb:te]
-            if qual:
-                qual = qual[tb:te]
-            has_primer[i] = True
-        counters['trimmed_bases'] += trimmed
-        if trimmed > 0:
-            counters['trimmed_reads'] += 1
-        counters[f'{name1}_{name2}'] += 1
-        new_name = f'{reads.name(i)}.{r1}_{r2}.{name1}_{name2}'
+        if qual and not no_primer[i]:
+            qual = qual[tb_eff[i]:te_eff[i]]
+        new_name = (f'{reads.name(i)}.{r1_all[i]}_{r2_all[i]}.'
+                    f'{lab1[i]}_{lab2[i]}')
         out_records.append(FastxRecord(name=new_name,
                                        sequence=_to_str(codes, lower),
                                        quality=qual,

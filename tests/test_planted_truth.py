@@ -167,9 +167,13 @@ def test_seeding_sensitivity(planted_ref):
     ref, sidx = planted_ref
     rng = np.random.default_rng(7)
     seqs, truths = _plant_reads(rng, ref, n_reads=12, sub=0.08, indel=0.04)
-    cand_rows, _ = align_stage._seed_rows(seqs, ref, sidx, CONFIG,
-                                          backend='jax')
-    cand_rows = align_stage._chain_filter(cand_rows, seqs, CONFIG)
+    from fslr_tpu.encode import encode_cat
+    cat, off = encode_cat(seqs)
+    cands = align_stage._seed_rows(cat, off, ref, sidx, CONFIG,
+                                   backend='jax')
+    cands = align_stage._chain_filter(cands, np.diff(off), CONFIG)
+    cand_rows = list(zip(cands.ridx, cands.srev, cands.dga, cands.cnt,
+                         cands.qmn, cands.qmx))
     # candidate coverage per read in query space
     got = 0
     tot = 0
