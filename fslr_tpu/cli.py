@@ -35,6 +35,15 @@ from fslr_tpu.config import ClusterConfig, PipelineConfig
                    'within target regions')
 @click.option('--procs', required=False, default=1, show_default=True,
               help='Number of processors to use')
+@click.option('--n-processes', required=False, default=1, show_default=True,
+              help='Multi-host: total number of pipeline processes '
+                   '(each handles its input-file shard on its own '
+                   'chip(s); process 0 merges and clusters)')
+@click.option('--process-id', required=False, default=0, show_default=True,
+              help='Multi-host: this process\'s id in [0, n_processes)')
+@click.option('--coordinator', required=False, default=None,
+              help='Multi-host: jax.distributed coordinator address '
+                   '(host:port), shared by all processes')
 @click.option('--reference-mask', required=False,
               type=click.Path(exists=True),
               help='A bed file containing target regions for creating a '
@@ -105,7 +114,9 @@ def pipeline(**args):
         skip_alignment=args['skip_alignment'],
         skip_clustering=args['skip_clustering'],
         run_consensus=args['run_consensus'],
-        procs=args['procs'], cluster=cluster)
+        procs=args['procs'], n_processes=args['n_processes'],
+        process_id=args['process_id'], coordinator=args['coordinator'],
+        cluster=cluster)
     config = config.replace(
         consensus=config.consensus.__class__(
             **{**config.consensus.__dict__,

@@ -195,6 +195,15 @@ class PipelineConfig:
     run_consensus: bool = False   # the reference ships this stage disabled
     exact_cigars: bool = True     # traceback-kernel CIGARs in the BAM
     procs: int = 1
+    # multi-HOST execution (SURVEY section 5.8; the reference's only
+    # parallelism is Pool.map over input files, main.py:95-114 — here the
+    # file shard is per PROCESS and each process drives its own chip(s)):
+    # every process runs filter->primer->align on files[pid::n], counters
+    # reduce globally, and process 0 merges the per-process artifacts and
+    # runs clustering.
+    n_processes: int = 1
+    process_id: int = 0
+    coordinator: str | None = None   # jax.distributed coordinator addr
 
     scoring: ScoringConfig = dataclasses.field(default_factory=ScoringConfig)
     junk: JunkFilterConfig = dataclasses.field(default_factory=JunkFilterConfig)

@@ -32,6 +32,7 @@ import numpy as np
 
 _SEQ_CODE = {c: i for i, c in enumerate('=ACMGRSVTWYHKDBN')}
 _SEQ_DECODE = '=ACMGRSVTWYHKDBN'
+_SEQ_DECODE_ARR = np.frombuffer(_SEQ_DECODE.encode(), np.uint8)
 # byte -> nibble LUT (upper+lower case; unknown -> N=15) for vectorized
 # sequence packing
 _SEQ_LUT = None
@@ -182,9 +183,10 @@ def write_bam_items(path: str, names: list[str], lengths, items,
         f'@SQ\tSN:{n}\tLN:{int(l)}\n' for n, l in zip(names, lengths))
     header_text = '@HD\tVN:1.6\tSO:coordinate\n' + header_text \
         + '@PG\tID:fslr-tpu\tPN:fslr-tpu\n'
-    items = list(items)
     if sort_by_coord:
-        items.sort(key=lambda t: (t[0] if t[0] >= 0 else 1 << 30, t[1]))
+        items = sorted(items,
+                       key=lambda t: (t[0] if t[0] >= 0 else 1 << 30,
+                                      t[1]))
     w = BgzfWriter(path)
     ht = header_text.encode()
     w.write(b'BAM\x01' + struct.pack('<i', len(ht)) + ht
@@ -446,6 +448,62 @@ def open_bam(path: str):
     return names, lengths, _records()
 
 
+def stream_raw_records(path: str):
+    """Stream (payload, qname, ref_id, pos, ref_end) per record WITHOUT
+    decoding seq/qual/tags — payload is the on-disk record bytes
+    (block_size prefix included), so record-level filters and merges
+    (consensus delete/merge, the samtools merge role) copy bytes instead
+    of re-encoding.  Constant memory like open_bam."""
+    fh = gzip.open(path, 'rb')
+    magic = _read_exact(fh, 4)
+    if magic != b'BAM\x01':
+        fh.close()
+        raise ValueError(f'{path}: not BAM')
+    l_text, = struct.unpack('<i', _read_exact(fh, 4))
+    _read_exact(fh, l_text)
+    n_ref, = struct.unpack('<i', _read_exact(fh, 4))
+    names, lengths = [], []
+    for _ in range(n_ref):
+        l_name, = struct.unpack('<i', _read_exact(fh, 4))
+        nb = _read_exact(fh, l_name)
+        names.append(nb[:-1].decode())
+        lengths.append(struct.unpack('<i', _read_exact(fh, 4))[0])
+
+    _REF_OPS = frozenset('MDN=X')
+
+    def _records():
+        try:
+            while True:
+                szb = _read_exact(fh, 4)
+                if len(szb) < 4:
+                    break
+                block_size, = struct.unpack('<I', szb)
+                body = _read_exact(fh, block_size)
+                ref_id, pos, l_rn, _mq, _bin, n_cig = struct.unpack_from(
+                    '<iiBBHH', body, 0)
+                qname = body[32:32 + l_rn - 1].decode()
+                span = 0
+                if n_cig:
+                    vs = np.frombuffer(body, '<u4', n_cig, 32 + l_rn)
+                    for v in vs:
+                        if _CIGAR_OPS[v & 15] in _REF_OPS:
+                            span += int(v) >> 4
+                yield (szb + body, qname, ref_id, pos,
+                       pos + max(span, 1))
+        finally:
+            fh.close()
+
+    return names, lengths, _records()
+
+
+def patch_ref_id(payload: bytes, new_ref_id: int) -> bytes:
+    """Rewrite a raw record payload's ref_id in place (contig remap on
+    merge)."""
+    b = bytearray(payload)
+    struct.pack_into('<i', b, 4, new_ref_id)
+    return bytes(b)
+
+
 def read_bam(path: str):
     """Returns (names, lengths, list of records)."""
     names, lengths, it = open_bam(path)
@@ -457,19 +515,29 @@ def _decode_record(data, off: int, end: int) -> BamRecord:
      _tl) = struct.unpack_from('<iiBBHHHiiii', data, off)
     p = off + 32
     qname = bytes(data[p:p + l_rn - 1]).decode(); p += l_rn
-    cigar = []
-    for _ in range(n_cig):
-        v, = struct.unpack_from('<I', data, p); p += 4
-        cigar.append((v >> 4, _CIGAR_OPS[v & 15]))
-    seq_chars = []
-    for i in range(l_seq):
-        b = data[p + i // 2]
-        code = (b >> 4) if i % 2 == 0 else (b & 15)
-        seq_chars.append(_SEQ_DECODE[code])
-    p += (l_seq + 1) // 2
+    if n_cig:
+        vs = np.frombuffer(data, '<u4', n_cig, p)
+        cigar = [(int(v) >> 4, _CIGAR_OPS[v & 15]) for v in vs]
+        p += 4 * n_cig
+    else:
+        cigar = []
+    # nibble-unpack the 4-bit SEQ field vectorized (the per-base Python
+    # loop decoded ~1 MB/s; consensus merge streams whole BAMs through
+    # here)
+    nb = (l_seq + 1) // 2
+    if l_seq:
+        raw = np.frombuffer(data, np.uint8, nb, p)
+        codes = np.empty(2 * nb, np.uint8)
+        codes[0::2] = raw >> 4
+        codes[1::2] = raw & 15
+        seq = _SEQ_DECODE_ARR[codes[:l_seq]].tobytes().decode('ascii')
+    else:
+        seq = ''
+    p += nb
     qual_raw = data[p:p + l_seq]; p += l_seq
     qual = (None if (l_seq == 0 or qual_raw[:1] == b'\xff')
-            else ''.join(chr(q + 33) for q in qual_raw))
+            else (np.frombuffer(qual_raw, np.uint8) + 33)
+            .tobytes().decode('ascii'))
     tags = {}
     while p < end:
         tag = bytes(data[p:p + 2]).decode(); typ = chr(data[p + 2]); p += 3
@@ -489,7 +557,7 @@ def _decode_record(data, off: int, end: int) -> BamRecord:
         else:
             break  # unsupported array types: stop tag parsing
     return BamRecord(qname=qname, flag=flag, ref_id=ref_id, pos=pos,
-                     mapq=mapq, cigar=cigar, seq=''.join(seq_chars),
+                     mapq=mapq, cigar=cigar, seq=seq,
                      qual=qual, tags=tags)
 
 

@@ -107,6 +107,42 @@ class FastxArrays:
             raw = raw | (m.astype(np.uint8) << 5)
         return raw.tobytes().decode('ascii')
 
+    def seq_strs(self, lo: int = 0, hi: int | None = None) -> list[str]:
+        """Decode reads [lo, hi) to strings in ONE pass over the columnar
+        buffers (per-read numpy decode cost ~0.3 ms/read in the align
+        loop at 100k reads)."""
+        hi = self.n if hi is None else hi
+        b0, b1 = int(self.seq_off[lo]), int(self.seq_off[hi])
+        raw = _DECODE[self.codes[b0:b1]]
+        lw = self.lower[b0:b1]
+        if len(lw) and lw.any():
+            raw = raw | (lw.astype(np.uint8) << 5)
+        buf = raw.tobytes()
+        off = self.seq_off
+        return [buf[int(off[i]) - b0:int(off[i + 1]) - b0]
+                .decode('ascii') for i in range(lo, hi)]
+
+    def qual_strs(self, lo: int = 0, hi: int | None = None) -> list:
+        hi = self.n if hi is None else hi
+        if len(self._quals) == 0:
+            return [None] * (hi - lo)
+        off = self.qual_off
+        return [self._quals[int(off[i]):int(off[i + 1])].decode()
+                or None for i in range(lo, hi)]
+
+    def name_strs(self, lo: int = 0, hi: int | None = None) -> list[str]:
+        hi = self.n if hi is None else hi
+        off = self.name_off
+        return [self._names[int(off[i]):int(off[i + 1])].decode()
+                for i in range(lo, hi)]
+
+    def codes_slice(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
+        """(cat, off) columnar code view of reads [lo, hi) — feeds the
+        align stage without a string decode/re-encode round trip."""
+        b0 = int(self.seq_off[lo])
+        return (self.codes[b0:int(self.seq_off[hi])],
+                (self.seq_off[lo:hi + 1] - b0).astype(np.int64))
+
     def subset(self, idx, lower_override: list | None = None):
         """New FastxArrays holding rows ``idx`` (in the given order).
         ``lower_override[j]`` replaces row ``idx[j]``'s lowercase mask."""

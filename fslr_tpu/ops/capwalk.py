@@ -147,10 +147,14 @@ def _value_fn(C: int, M: int, NO: int):
         R2 = lens.shape[0]
         a = jnp.clip(eqs, 0, R2 - 1)
         b = jnp.clip(o, 0, R2 - 1)
+        iota = jnp.arange(M)[None, :]
+        la = lens[a]
+        lb = lens[b]
+        del valid        # masks derive from lens (saves an (C, M) gather)
         j, n = _jaccard_impl(chrom[a], start[a], end[a], size[a],
-                             valid[a], chrom[b], start[b], end[b],
-                             size[b], valid[b], lens[a], lens[b], pct,
-                             M)
+                             iota < la[:, None], chrom[b], start[b],
+                             end[b], size[b], iota < lb[:, None],
+                             la, lb, pct, M)
         gated = (n > 0) & ~tail
         # cutoff comparison in float64 of the float32 jaccard — exactly
         # the host replay's semantics (cutoffs are python doubles)
@@ -166,34 +170,44 @@ def _value_fn(C: int, M: int, NO: int):
 
 @functools.lru_cache(maxsize=None)
 def _replay_fn(NBp: int, RB: int):
+    # Scatter- and gather-free: every segmented lookup is a cumulative-max
+    # forward fill (big TPU scatters cost ~4.7 s per 2^25 rows; the whole
+    # replay in fills is tens of ms).  The fills are sound because every
+    # filled quantity is non-decreasing within its segment and segment
+    # labels (query ids, global run indices) never repeat across
+    # boundaries.
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def fn(passv, gated, rungid, eqs, bounds, base, T):
+        del bounds, base
+        iota0 = jnp.arange(NBp) == 0
         pi = passv.astype(jnp.int32)
         cum = jnp.cumsum(pi)
-        qb = jnp.take(bounds, jnp.clip(eqs, 0, RB).astype(jnp.int64))
-        qs = jnp.clip(qb - base, 0, NBp)
-        base_cp = jnp.where(
-            qs > 0, jnp.take(cum, jnp.clip(qs - 1, 0, NBp - 1)), 0)
+
+        def ff(x):          # forward max fill (single cumulative-max op;
+            # an associative_scan here OOM-killed the remote compiler)
+            return jax.lax.cummax(x)
+
+        qc = iota0 | (eqs != jnp.concatenate([eqs[-1:], eqs[:-1]]))
+        # per-query pass count: exclusive cum at the query start, filled
+        base_cp = ff(jnp.where(qc, cum - pi, -1))
         cp = cum - base_cp
         capped = (cp - pi) >= T
-        rolled = jnp.concatenate([rungid[-1:], rungid[:-1]])
-        rc = (jnp.arange(NBp) == 0) | (rungid != rolled)
+        rc = iota0 | (rungid != jnp.concatenate(
+            [rungid[-1:], rungid[:-1]]))
         run_index = jnp.cumsum(rc.astype(jnp.int32)) - 1
         capev = passv & (cp == T)
-        caprun = jnp.full(RB + 1, -1, jnp.int32).at[
-            jnp.where(capev, eqs, RB)].max(
-            jnp.where(capev, run_index, -1))
-        in_cap_run = capped & (run_index
-                               == jnp.take(caprun, jnp.clip(eqs, 0, RB)))
+        # run of the cap event, filled forward; run ids are globally
+        # unique, so a previous query's fill value can never collide
+        capfill = ff(jnp.where(capev, run_index, -1))
+        in_cap_run = capped & (run_index == capfill)
         gi = gated.astype(jnp.int32)
         cumg = jnp.cumsum(gi)
         gex = cumg - gi
-        runbase = jnp.zeros(NBp, jnp.int32).at[run_index].add(
-            jnp.where(rc, gex, 0))
-        first_g = gated & (gex == jnp.take(runbase, run_index))
+        runbase = ff(jnp.where(rc, gex, -1))   # gex is non-decreasing
+        first_g = gated & (gex == runbase)
         emit = (passv & ~capped) | (capped & ~in_cap_run & first_g
                                     & passv)
         return emit, jnp.sum(emit.astype(jnp.int32))
@@ -202,16 +216,25 @@ def _replay_fn(NBp: int, RB: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _compress_fn(NBp: int, NB: int, S: int):
+def _compress_fn(NBp: int, S: int):
+    # shape signature must NOT include the bucket's true entry count —
+    # per-bucket counts are data-dependent, and a compile per bucket costs
+    # 20-60 s through the remote TPU compile service.  Out-of-range
+    # fill rows gather garbage and are trimmed by count on the host.
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def fn(emit, eo, j, base):
-        idx = jnp.flatnonzero(emit, size=S, fill_value=NBp - 1)
-        e = jnp.take(eo, jnp.clip(idx, 0, NB - 1))
-        jj = jnp.take(j, jnp.clip(idx, 0, NB - 1))
-        return jnp.stack([idx.astype(jnp.float64) + base,
+        # sort-based compaction (flatnonzero lowers to a big scatter)
+        key = jnp.where(emit, jnp.arange(NBp, dtype=jnp.int32),
+                        jnp.int32(NBp))
+        idx = jax.lax.sort(key)[:S]
+        cl = jnp.clip(idx, 0, eo.shape[0] - 1)
+        e = jnp.take(eo, cl)
+        jj = jnp.take(j, jnp.clip(idx, 0, j.shape[0] - 1))
+        return jnp.stack([jnp.where(idx < NBp, idx, NBp - 1)
+                          .astype(jnp.float64) + base,
                           e.astype(jnp.float64),
                           jj.astype(jnp.float64)])
 
@@ -225,9 +248,12 @@ def _rows_fn(NBp: int, S: int):
 
     @jax.jit
     def fn(mask, eqs, eo, base):
-        idx = jnp.flatnonzero(mask, size=S, fill_value=NBp - 1)
+        key = jnp.where(mask, jnp.arange(NBp, dtype=jnp.int32),
+                        jnp.int32(NBp))
+        idx = jax.lax.sort(key)[:S]
         cl = jnp.clip(idx, 0, eo.shape[0] - 1)
-        return jnp.stack([idx.astype(jnp.float64) + base,
+        return jnp.stack([jnp.where(idx < NBp, idx, NBp - 1)
+                          .astype(jnp.float64) + base,
                           jnp.take(eqs, jnp.clip(idx, 0, NBp - 1))
                           .astype(jnp.float64),
                           jnp.take(eo, cl).astype(jnp.float64)])
@@ -257,6 +283,17 @@ def resolve_device(buckets, bounds: np.ndarray, max_itv: int, max_nc: int,
     """
     import jax
     import jax.numpy as jnp
+
+    import os
+    import sys
+    import time
+    dbg = bool(os.environ.get('FSLR_ENC_DEBUG'))
+    t_start = time.time()
+
+    def _dbg(msg):
+        if dbg:
+            print(f'[capwalk] +{time.time() - t_start:6.2f}s {msg}',
+                  file=sys.stderr)
 
     R = len(bounds) - 1
     with jax.enable_x64():
@@ -323,10 +360,12 @@ def resolve_device(buckets, bounds: np.ndarray, max_itv: int, max_nc: int,
             del passb, gatedb, rungb, eqb, ovb
             done.append((emit, cnt, jb, eo_d, base, nb, NBp))
 
+        _dbg('valuing + replay dispatched')
         if not done:
             z = np.zeros(0, np.int64)
             return z, z, np.zeros(0, np.float64)
         counts = np.asarray(jnp.stack([d[1] for d in done]))   # 1 sync
+        _dbg(f'counts fetched ({int(counts.sum())} emissions)')
         packs = []
         sizes = []
         for (emit, _, jb, eo_d, base, nb, NBp), n_e in zip(done, counts):
@@ -335,13 +374,14 @@ def resolve_device(buckets, bounds: np.ndarray, max_itv: int, max_nc: int,
                 sizes.append((0, 0))
                 continue
             S = _pow2(n_e)
-            packs.append(_compress_fn(NBp, nb, S)(
+            packs.append(_compress_fn(NBp, S)(
                 emit, eo_d, jb, jnp.float64(base)))
             sizes.append((S, n_e))
         if not packs:
             z = np.zeros(0, np.int64)
             return z, z, np.zeros(0, np.float64)
         allp = np.asarray(jnp.concatenate(packs, axis=1))      # 1 sync
+        _dbg('emissions fetched')
         idx_l, eo_l, j_l = [], [], []
         off = 0
         for S, n_e in sizes:

@@ -50,7 +50,17 @@ def _jaccard_impl(c1, s1, e1, z1, v1, c2, s2, e2, z2, v2, len1, len2, pct,
         inter = inter + any_m.astype(jnp.int32)
         return used, inter
 
-    used, inter = jax.lax.fori_loop(0, M, body, (used, inter))
+    if M <= 8:
+        # unrolled: the whole greedy chain compiles to ONE fusion, so the
+        # gathered interval rows are read from HBM once — the fori_loop
+        # form re-reads every (N, M) operand per iteration, which made
+        # valuing 250M pairs memory-bound at scale
+        carry = (used, inter)
+        for i in range(M):
+            carry = body(i, carry)
+        used, inter = carry
+    else:
+        used, inter = jax.lax.fori_loop(0, M, body, (used, inter))
     union = len1 + len2 - inter
     j = jnp.where(union > 0, inter.astype(jnp.float32)
                   / jnp.maximum(union, 1).astype(jnp.float32), 0.0)
@@ -106,10 +116,16 @@ def _jaccard_gather(p, chrom, start, end, size, valid, lens, pct, M):
     costs a single device->host transfer."""
     a = p[:, 0]
     b = p[:, 1]
+    iota = jnp.arange(M)[None, :]
+    la = lens[a]
+    lb = lens[b]
+    # valid masks derive from lens — gathering the (N, M) valid table
+    # costs an extra M bytes/row of HBM traffic for redundant data
+    del valid
     j, n_i = _jaccard_impl(
-        chrom[a], start[a], end[a], size[a], valid[a],
-        chrom[b], start[b], end[b], size[b], valid[b],
-        lens[a], lens[b], pct, M)
+        chrom[a], start[a], end[a], size[a], iota < la[:, None],
+        chrom[b], start[b], end[b], size[b], iota < lb[:, None],
+        la, lb, pct, M)
     return jnp.stack([j, n_i.astype(jnp.float32)])
 
 

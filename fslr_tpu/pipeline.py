@@ -108,17 +108,155 @@ def _merge_all(dst: dict, src: dict):
 
 def run_pipeline(config: PipelineConfig, backend: str | None = None,
                  mesh=None):
-    """Run the full pipeline.  ``mesh``: optional ``jax.sharding.Mesh`` —
-    when given, every batched stage kernel (filter, primer, seeding,
-    extension, selection) runs data-parallel over its devices and counters
-    reduce with psum (parallel/dispatch.py); artifacts are byte-identical
-    to a single-device run (tests/test_parallel.py)."""
+    """Run the full pipeline.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — when given, every batched
+    stage kernel (filter, primer, seeding, extension, selection) runs
+    data-parallel over its devices and counters reduce with psum
+    (parallel/dispatch.py); artifacts are byte-identical to a
+    single-device run (tests/test_parallel.py).
+
+    ``config.n_processes > 1``: multi-HOST mode (SURVEY section 5.8).
+    Each process is launched with its own ``process_id`` and the shared
+    ``coordinator`` address, runs filter->primer->align on its input-file
+    shard (the reference's Pool-over-files analog, main.py:95-114),
+    counters are reduced across processes with a collective, and process
+    0 merges the per-process beds/BAMs and runs clustering.  Artifacts
+    equal a single-process run (tests/test_multiprocess.py)."""
     from fslr_tpu.parallel import dispatch
     with dispatch.use_mesh(mesh):
+        if config.n_processes > 1:
+            return _run_pipeline_multihost(config, backend)
         return _run_pipeline(config, backend)
 
 
-def _run_pipeline(config: PipelineConfig, backend: str | None = None):
+def _read_counts_csv(path: str) -> dict:
+    with open(path) as fh:
+        lines = [ln.rstrip('\n') for ln in fh]
+    keys = lines[1].split(',')
+    vals = lines[2].split(',')
+    out = {}
+    for k, v in zip(keys, vals):
+        out[k] = v if k == 'name' else int(v)
+    return out
+
+
+def _allreduce_counts(counts: dict) -> dict:
+    """Global counter reduction across jax.distributed processes: each
+    process contributes its local dict (keys differ — per-label combo
+    counters appear only where seen), payloads are gathered with a
+    cross-process collective and summed."""
+    import json
+
+    import jax
+    if jax.process_count() <= 1:
+        return dict(counts)
+    from jax.experimental import multihost_utils
+    payload = json.dumps({k: v for k, v in counts.items()
+                          if k != 'name'}).encode()
+    CAP = 1 << 14
+    if len(payload) > CAP:
+        raise ValueError('counter payload exceeds gather cap')
+    arr = np.zeros(CAP, np.uint8)
+    arr[:len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(arr))
+    merged: dict = {}
+    for row in gathered:
+        raw = bytes(row.tobytes()).rstrip(b'\x00')
+        for k, v in json.loads(raw).items():
+            merged[k] = merged.get(k, 0) + v
+    return merged
+
+
+def _merge_bams_streamed(parts: list[str], out_path: str):
+    """N-way streamed merge of coordinate-sorted per-process BAMs
+    (samtools merge role) — raw payload copies, constant memory."""
+    import heapq
+    streams = [bamio.stream_raw_records(p) for p in parts]
+    names, lengths = streams[0][0], streams[0][1]
+    for nm, _l, _it in streams[1:]:
+        if nm != names:
+            raise ValueError('per-process BAM headers differ')
+
+    def _items(it):
+        for pl, _qn, rid, pos, rend in it:
+            yield (rid if rid >= 0 else 1 << 30), pos, rend, rid, pl
+
+    merged = heapq.merge(*(_items(s[2]) for s in streams),
+                         key=lambda t: (t[0], t[1]))
+    bamio.write_bam_items(out_path, names, lengths,
+                          ((rid, pos, rend, pl)
+                           for (_k, pos, rend, rid, pl) in merged),
+                          sort_by_coord=False, write_index=True)
+
+
+def _run_pipeline_multihost(config: PipelineConfig,
+                            backend: str | None = None):
+    import jax
+    pid, nproc = config.process_id, config.n_processes
+    from fslr_tpu.parallel.cluster_merge import initialize_distributed
+    initialize_distributed(config.coordinator, nproc, pid)
+    from jax.experimental import multihost_utils
+
+    part_name = f'{config.name}__p{pid}'
+    stage_cfg = config.replace(name=part_name, n_processes=1,
+                               process_id=0, skip_clustering=True)
+    _run_pipeline(stage_cfg, backend, file_shard=(pid, nproc))
+
+    # global counter reduction (every process participates)
+    local = _read_counts_csv(os.path.join(
+        config.out, f'{part_name}.filter_counts_summary.csv'))
+    global_counts = _allreduce_counts(local)
+    multihost_utils.sync_global_devices('fslr-stages-done')
+    if pid != 0:
+        return
+
+    # ---- process 0: merge per-process artifacts, then cluster ---------
+    base = os.path.join(config.out, config.name)
+    beds = [os.path.join(config.out, f'{config.name}__p{i}.mappings.bed')
+            for i in range(nproc)]
+    dfs = [pd.read_csv(p, sep='\t') for p in beds]
+    df = pd.concat(dfs, ignore_index=True)
+    # ties in the final keys only occur within one read, and a read lives
+    # in exactly one process, so a stable re-sort reproduces the
+    # single-process order exactly
+    df = df.sort_values(['n_alignments', 'qname', 'qstart'],
+                        ascending=[False, True, True], kind='stable')
+    mapping_table.write_mappings_bed(df, f'{base}.mappings.bed')
+
+    _merge_bams_streamed(
+        [os.path.join(config.out, f'{config.name}__p{i}.bwa_dodi.bam')
+         for i in range(nproc)], f'{base}.bwa_dodi.bam')
+
+    with open(f'{base}.without_primers.fq', 'w') as out:
+        for i in range(nproc):
+            p = os.path.join(config.out,
+                             f'{config.name}__p{i}.without_primers.fq')
+            if os.path.exists(p):
+                with open(p) as fh:
+                    out.write(fh.read())
+
+    with open(f'{base}.filter_counts_summary.csv', 'w') as fc:
+        cols = dict(name=config.name, **{k: v for k, v in
+                                         global_counts.items()})
+        fc.write('Filter counts:' + '\n')
+        fc.write(','.join(str(k) for k in cols.keys()) + '\n')
+        fc.write(','.join(str(v) for v in cols.values()) + '\n')
+
+    if not config.keep_temp:
+        for i in range(nproc):
+            for p in glob.glob(os.path.join(
+                    config.out, f'{config.name}__p{i}.*')):
+                os.remove(p)
+
+    if not config.skip_clustering:
+        final_cfg = config.replace(skip_alignment=True, n_processes=1,
+                                   process_id=0)
+        _run_pipeline(final_cfg, backend)
+
+
+def _run_pipeline(config: PipelineConfig, backend: str | None = None,
+                  file_shard: tuple[int, int] | None = None):
     basename = os.path.join(config.out, config.name)
     print('Basename: ', basename, file=sys.stderr)
     timer = StageTimer()
@@ -170,6 +308,11 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None):
 
         print('Filtering reads: ', config.basecalled, file=sys.stderr)
         fs = glob_input_files(config.basecalled)
+        if file_shard is not None:
+            pid_, nproc_ = file_shard
+            fs = fs[pid_::nproc_]
+            print(f'process {pid_}/{nproc_}: {len(fs)} input files',
+                  file=sys.stderr)
         print('Input files:', fs, file=sys.stderr)
         for pth in fs:
             if os.path.getsize(pth) == 0:
@@ -229,14 +372,14 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None):
             for off in range(0, fa.n, CH):
                 hi = min(off + CH, fa.n)
                 with timer.stage('read_labelled'):
-                    qnames = [fa.name(i) for i in range(off, hi)]
-                    seqs = [fa.seq_str(i) for i in range(off, hi)]
-                    quals = [fa.qual(i) for i in range(off, hi)]
+                    qnames = fa.name_strs(off, hi)
+                    seqs = fa.seq_strs(off, hi)
+                    quals = fa.qual_strs(off, hi)
                 with timer.stage('align'):
                     aln = align_stage.align_batch(
                         seqs, ref, sidx, config,
                         regions_path=config.regions, backend=backend,
-                        masked=masked)
+                        masked=masked, codes=fa.codes_slice(off, hi))
                 # BAM records (replaces bwa|dodi|samtools); exact CIGARs
                 # come from the extension traceback walk
                 cigars = aln.cigars if (config.exact_cigars

@@ -212,7 +212,8 @@ def _empty_cand_aln() -> CandAln:
 def align_batch(seqs: list[str], ref: Reference, sidx: SeedIndex,
                 config: PipelineConfig, regions_path: str | None = None,
                 backend: str | None = None,
-                masked: tuple[Reference, SeedIndex] | None = None
+                masked: tuple[Reference, SeedIndex] | None = None,
+                codes: tuple[np.ndarray, np.ndarray] | None = None
                 ) -> Alignments:
     """Align a list of read sequences.  Returns selected alignments only.
 
@@ -222,8 +223,13 @@ def align_batch(seqs: list[str], ref: Reference, sidx: SeedIndex,
     masked-vs-whole-reference candidates (main.py:121-141).  Masked contig
     names must be a subset of the main reference's names.
     """
-    from fslr_tpu.encode import encode_cat
-    cat, off = encode_cat(seqs)
+    if codes is not None:
+        # columnar fast path: the caller already holds 0-4 codes
+        # (FastxArrays.codes_slice) — skip the string decode/re-encode
+        cat, off = codes
+    else:
+        from fslr_tpu.encode import encode_cat
+        cat, off = encode_cat(seqs)
     ca = _gather_candidates(cat, off, ref, sidx, config, backend)
     if masked is not None:
         mref, msidx = masked

@@ -240,6 +240,22 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         qlen2_arr[qid[q]] = lst[0].qlen2
         naln_arr[qid[q]] = lst[0].n_alignments
 
+    # effective kernel width: the greedy Jaccard's HBM gather traffic and
+    # unrolled chain both scale with M, and real interval lists are far
+    # below the 32-slot cap (typically <= 4) — run the kernel at the
+    # smallest pow2 that covers the dataset; reads beyond it fall back to
+    # the exact host path like any over-cap read
+    if R:
+        mx = int(lens_a.max())
+        M_eff = 2
+        while M_eff < min(mx, M):
+            M_eff *= 2
+        if M_eff < M:
+            M = M_eff
+            chrom_a, start_a, end_a = (chrom_a[:, :M], start_a[:, :M],
+                                       end_a[:, :M])
+            size_a, valid_a = size_a[:, :M], valid_a[:, :M]
+
     # ---- 1+2. encounter stream -> first-encounter pairs, vectorized ----
     # Each (pairkey, travkey) encounter is reduced to the pair's earliest
     # traversal position with ONE sort + minimum.reduceat — the encounter

@@ -272,3 +272,31 @@ def test_pipeline_streamed_chunks_byte_identical(workdir):
         with open(os.path.join(out_s, 'T' + suffix), 'rb') as fh:
             streamed = fh.read()
         assert wide == streamed, f'{suffix} differs between streamed/wide'
+
+
+def test_mapping_table_from_bam_roundtrip(workdir):
+    """The standalone BAM -> mappings.bed re-extraction
+    (collect_mapping_info.py:184-191 mode) must rebuild the pipeline's
+    own bed exactly from its own BAM — minus the inferred-primer
+    pseudo-rows' seq column semantics, which are identical anyway."""
+    from fslr_tpu.stages.mapping_table import mapping_table_from_bam
+    root, ref_path, fq_dir = workdir
+    basename = os.path.join(str(root / 'out'), 'T')
+    bam = basename + '.bwa_dodi.bam'
+    bed = basename + '.mappings.bed'
+    if not os.path.exists(bam):        # fixture test didn't run first
+        pytest.skip('pipeline artifacts missing')
+    want = pd.read_csv(bed, sep='\t')
+    got = mapping_table_from_bam(bam, None, PANEL.seqs)
+    got = got.reset_index(drop=True)
+    # the bed round-trips through to_csv: normalize the same way
+    import io as _io
+    buf = _io.StringIO()
+    got.to_csv(buf, index=False, sep='\t')
+    buf.seek(0)
+    got2 = pd.read_csv(buf, sep='\t')
+    pd.testing.assert_frame_equal(
+        want.sort_values(['qname', 'qstart', 'chrom'])
+        .reset_index(drop=True),
+        got2.sort_values(['qname', 'qstart', 'chrom'])
+        .reset_index(drop=True))
