@@ -29,15 +29,21 @@ N_READS_CPU = 100      # the CPU baseline is measured on a smaller sample
 REF_MB = 2_000_000
 
 
-def make_dataset(root, n_reads=N_READS, n_groups=20):
+def make_dataset(root, n_reads=N_READS, n_groups=20, ref_mb=None):
     import numpy as np
 
     from fslr_tpu.encode import decode, revcomp_str
     from fslr_tpu.panel import load_panel
 
+    if ref_mb is None:
+        # size the reference so breakpoint groups never overlap (span >=
+        # 1500 bp vs 1000 bp interior intervals): cross-group interval
+        # overlap would inflate the pair set ~7x past what the measured
+        # configuration intends
+        ref_mb = max(REF_MB, 700_000 + n_groups * 1500 + 100_000)
     rng = np.random.default_rng(123)
-    chrA = rng.integers(0, 4, REF_MB).astype(np.uint8)
-    chrB = rng.integers(0, 4, REF_MB).astype(np.uint8)
+    chrA = rng.integers(0, 4, ref_mb).astype(np.uint8)
+    chrB = rng.integers(0, 4, ref_mb).astype(np.uint8)
     ref_path = os.path.join(root, 'ref.fa')
     with open(ref_path, 'w') as fh:
         fh.write('>chrA\n' + decode(chrA) + '\n>chrB\n' + decode(chrB) + '\n')
@@ -53,7 +59,7 @@ def make_dataset(root, n_reads=N_READS, n_groups=20):
     path = os.path.join(fq_dir, 'b0.fastq')
     # span 40k for the historical 20-group configs (round-over-round
     # comparability); packed tighter only when n_groups needs it
-    span = max(1, min(40_000, (REF_MB - 700_000) // n_groups))
+    span = max(1, min(40_000, (ref_mb - 700_000) // n_groups))
     with open(path, 'w', buffering=1 << 22) as fh:
         for i in range(n_reads):
             g = i % n_groups
@@ -140,7 +146,7 @@ def main():
         i = sys.argv.index('--scale')
         n = int(sys.argv[i + 1])
         g = (int(sys.argv[sys.argv.index('--groups') + 1])
-             if '--groups' in sys.argv else max(20, n // 500))
+             if '--groups' in sys.argv else max(20, n // 700))
         run_scale(n, g)
         return
     if '--cpu-baseline' in sys.argv:
