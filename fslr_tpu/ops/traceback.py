@@ -513,6 +513,31 @@ def finalize_scores(packed):
     return p[0], p[1], p[2], p[3], p[4]
 
 
+def decode_emit_rows(blocks: np.ndarray) -> list[list[tuple[int, str]]]:
+    """CIGARs of a whole (n, t4) block of 2-bit-packed emit rows in one
+    vectorized pass (per-row decode_emit_row calls cost ~0.5 s per 30k
+    selected alignments)."""
+    n = len(blocks)
+    e = ((blocks[:, :, None] >> np.array([0, 2, 4, 6], np.uint8)) & 3)
+    e = e.reshape(n, -1)[:, ::-1]          # emitted end->start: reverse
+    rowv, colv = np.nonzero(e != 3)
+    out: list[list] = [[] for _ in range(n)]
+    if not len(rowv):
+        return out
+    vals = e[rowv, colv]
+    brk = np.flatnonzero((vals[1:] != vals[:-1])
+                         | (rowv[1:] != rowv[:-1]))
+    starts = np.concatenate([[0], brk + 1])
+    ends = np.concatenate([brk + 1, [len(vals)]])
+    seg_rows = rowv[starts]
+    seg_ops = vals[starts]
+    seg_len = ends - starts
+    for r, ln, op in zip(seg_rows.tolist(), seg_len.tolist(),
+                         seg_ops.tolist()):
+        out[r].append((ln, _OP_CHARS[op]))
+    return out
+
+
 def decode_emit_row(ep_row: np.ndarray) -> list[tuple[int, str]]:
     """CIGAR of one 2-bit-packed emit row (codes 0/1/2 = M/I/D, 3 = none,
     emitted end->start)."""
