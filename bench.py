@@ -25,7 +25,7 @@ import tempfile
 import time
 
 N_READS = 1000
-N_READS_CPU = 100      # the CPU baseline is measured on a smaller sample
+N_READS_CPU = 1000     # full config-1 scale (round-3: best of 3 runs)
 REF_MB = 2_000_000
 
 
@@ -152,7 +152,7 @@ def main():
     if '--cpu-baseline' in sys.argv:
         import jax
         jax.config.update('jax_platforms', 'cpu')
-        r = measure('cpu', N_READS_CPU, repeats=1)
+        r = measure('cpu', N_READS_CPU, repeats=3)
         print(json.dumps({'cpu_reads_per_s': r['reads_per_s']}))
         return
 
