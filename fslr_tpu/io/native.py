@@ -32,7 +32,11 @@ def _load():
         try:
             subprocess.run(['make', '-C', _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)
-        except Exception:
+        except Exception as e:
+            import sys
+            print(f'WARNING: native parser build failed '
+                  f'({type(e).__name__}: {e}); falling back to the '
+                  f'Python FASTQ parser', file=sys.stderr)
             return None
     try:
         lib = ctypes.CDLL(so)

@@ -470,7 +470,12 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None,
             try:        # pyarrow parses the seq-heavy TSV ~2x faster
                 bed_file = pd.read_csv(f'{basename}.mappings.bed',
                                        sep='\t', engine='pyarrow')
-            except Exception:
+            except Exception as e:
+                # fall back to the default parser, but LOUDLY: a malformed
+                # bed failing both parsers should not be blamed on pyarrow
+                print(f'WARNING: pyarrow bed parse failed '
+                      f'({type(e).__name__}: {e}); using default parser',
+                      file=sys.stderr)
                 bed_file = pd.read_csv(f'{basename}.mappings.bed', sep='\t')
             chr_lengths = bamio.get_chromosome_lengths(
                 f'{basename}.bwa_dodi.bam')
