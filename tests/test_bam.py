@@ -141,3 +141,41 @@ def test_bai_linear_index_prunes_blocks(tmp_path):
     bamio.write_bam(path, names, lengths, records, write_index=True)
     got = bamio.fetch(path, 'chrA', 4_999_000, 5_000_000)
     assert [r.qname for r in got] == ['r4999']
+
+
+def test_stream_raw_records_roundtrip(tmp_path):
+    """Raw-payload streaming must expose exactly the records read_bam
+    decodes (qname/ref/pos/ref_end), and copied payloads must re-read
+    identically (the consensus delete/merge fast path)."""
+    from fslr_tpu.io import bam as bamio
+    path = str(tmp_path / 'r.bam')
+    recs = [
+        bamio.BamRecord(qname=f'q{i}', flag=0 if i % 2 == 0 else 16,
+                        ref_id=i % 2, pos=100 * i, mapq=40,
+                        cigar=[(30, 'M'), (2, 'D'), (10, 'M')],
+                        seq='ACGT' * 10, qual='I' * 40,
+                        tags={'AS': 77 + i})
+        for i in range(6)
+    ]
+    bamio.write_bam(path, ['c0', 'c1'], [10_000, 10_000], recs)
+    names, lengths, raw = bamio.stream_raw_records(path)
+    assert names == ['c0', 'c1']
+    rows = list(raw)
+    _, _, decoded = bamio.read_bam(path)
+    assert len(rows) == len(decoded)
+    for (pl, qn, rid, pos, rend), d in zip(rows, decoded):
+        assert (qn, rid, pos) == (d.qname, d.ref_id, d.pos)
+        assert rend == d.pos + max(d.reference_span(), 1)
+    # payload copy round-trips byte-identically
+    out = str(tmp_path / 'copy.bam')
+    bamio.write_bam_items(out, names, lengths,
+                          ((rid, pos, rend, pl)
+                           for (pl, qn, rid, pos, rend) in rows),
+                          sort_by_coord=False)
+    _, _, redecoded = bamio.read_bam(out)
+    assert [r.qname for r in redecoded] == [r.qname for r in decoded]
+    assert [r.seq for r in redecoded] == [r.seq for r in decoded]
+    # contig remap patch
+    pl0 = rows[0][0]
+    patched = bamio.patch_ref_id(pl0, 1)
+    assert bamio._decode_record(patched[4:], 0, len(patched) - 4).ref_id == 1
