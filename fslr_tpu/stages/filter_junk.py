@@ -55,6 +55,27 @@ def _batch_from_codes(code_slices, L: int):
     return batch, lens
 
 
+def _batch_rows(reads, part, step: int, L: int):
+    """Padded (step, L) uint8 batch + lengths for read indices ``part``
+    via ONE strided gather over the columnar codes (the per-row fill loop
+    cost ~1 s per 10k reads across this stage's three batch sites)."""
+    part_arr = np.asarray(part, np.int64)
+    nb = len(part_arr)
+    off = reads.seq_off
+    cat = reads.codes
+    lf = (off[part_arr + 1] - off[part_arr]).astype(np.int64)
+    lw = np.minimum(lf, L)
+    ar = np.arange(L, dtype=np.int64)
+    batch = np.full((step, L), 4, dtype=np.uint8)
+    lens = np.zeros(step, dtype=np.int32)
+    if nb:
+        pos = off[part_arr][:, None] + ar[None, :]
+        v = cat[np.minimum(pos, max(len(cat) - 1, 0))]
+        batch[:nb] = np.where(ar[None, :] < lw[:, None], v, 4)
+        lens[:nb] = lw
+    return batch, lens
+
+
 def _concatemer_windows(length: int, cfg, overlap: int):
     """Window (start, end) pairs in interior coordinates, replicating the
     reference chunk walk (filter_junk_from_fq.py:79-99)."""
@@ -132,10 +153,8 @@ def filter_junk_records(reads, panel: PrimerPanel,
         step = max(1, min(config.batch.batch_size, (1 << 21) // L))
         for off in range(0, len(idxs), step):
             part = idxs[off:off + step]
-            slices = [reads.seq_codes(i) for i in part]
             # fixed batch shape (step rows) so the HMM compiles once
-            slices += [np.zeros(0, np.uint8)] * (step - len(part))
-            seq, lens = _batch_from_codes(slices, L)
+            seq, lens = _batch_rows(reads, part, step, L)
             mp, g = dispatch.dp_call(_mask_gate_packed, (seq, lens),
                                      statics=(cfg,))
             mask_pending.append((part, L, mp, g))
@@ -176,9 +195,7 @@ def filter_junk_records(reads, panel: PrimerPanel,
                 while step < len(part):
                     step *= 2
                 step = min(step, cap)
-                slices = [reads.seq_codes(i) for i in part]
-                slices += [np.zeros(0, np.uint8)] * (step - len(part))
-                seq, lens = _batch_from_codes(slices, L)
+                seq, lens = _batch_rows(reads, part, step, L)
                 m = np.zeros((step, L), dtype=bool)
                 for bi, i in enumerate(part):
                     m[bi, :len(masks[i])] = masks[i]
@@ -236,19 +253,28 @@ def filter_junk_records(reads, panel: PrimerPanel,
                                   cfg.chunk_size + 2 * overlap + 64))
         CHUNK = 8192     # fixed-shape chunks: stable compiled shapes
         pending = []
+        wr_i = np.array([r[0] for r in win_rows], np.int64)
+        wr_s = np.array([r[1] for r in win_rows], np.int64)
+        wr_e = np.array([r[2] for r in win_rows], np.int64)
+        wr_q = np.array([r[3] for r in win_rows], np.int64)
+        arw = np.arange(WT, dtype=np.int64)
+        cat_all = reads.codes
+        soff = reads.seq_off
         for off in range(0, len(win_rows), CHUNK):
             rows = win_rows[off:off + CHUNK]
             NW = len(rows)
-            q = np.full((NW, 128), 4, dtype=np.uint8)
-            t = np.full((NW, WT), 4, dtype=np.uint8)
-            tlens = np.zeros(NW, dtype=np.int32)
-            for r, (i, s, e, qi) in enumerate(rows):
-                interior = reads.seq_codes(i)[
-                    cfg.end_trim:int(rlens[i]) - cfg.end_trim]
-                w = interior[s:e]
-                t[r, :len(w)] = w
-                tlens[r] = len(w)
-                q[r] = qrows[qi]
+            sl = slice(off, off + NW)
+            # interior window [end_trim+s, end_trim+e) of each read, as
+            # one strided gather (clipped to the read's interior end)
+            we = np.minimum(wr_e[sl],
+                            rlens[wr_i[sl]] - 2 * cfg.end_trim)
+            wl = np.maximum(we - wr_s[sl], 0)
+            start = soff[wr_i[sl]] + cfg.end_trim + wr_s[sl]
+            pos = start[:, None] + arw[None, :]
+            v = cat_all[np.minimum(pos, max(len(cat_all) - 1, 0))]
+            t = np.where(arw[None, :] < wl[:, None], v, 4).astype(np.uint8)
+            tlens = wl.astype(np.int32)
+            q = qrows[wr_q[sl]]
             score, _, _ = dispatch.dp_call(
                 ssw.sw_max_packed, (q, t, tlens),
                 statics=(config.scoring, stride, backend))
