@@ -226,17 +226,18 @@ def _compress_fn(NBp: int, S: int):
 
     @jax.jit
     def fn(emit, eo, j, base):
-        # sort-based compaction (flatnonzero lowers to a big scatter)
+        # sort-based compaction (flatnonzero lowers to a big scatter);
+        # the fetch is (3, S) int32 — bucket-local idx, other read, and
+        # the float32 jaccard BITCAST (exact; the host upcasts to f64)
         key = jnp.where(emit, jnp.arange(NBp, dtype=jnp.int32),
                         jnp.int32(NBp))
         idx = jax.lax.sort(key)[:S]
         cl = jnp.clip(idx, 0, eo.shape[0] - 1)
         e = jnp.take(eo, cl)
         jj = jnp.take(j, jnp.clip(idx, 0, j.shape[0] - 1))
-        return jnp.stack([jnp.where(idx < NBp, idx, NBp - 1)
-                          .astype(jnp.float64) + base,
-                          e.astype(jnp.float64),
-                          jj.astype(jnp.float64)])
+        return jnp.stack([jnp.where(idx < NBp, idx, NBp - 1),
+                          e.astype(jnp.int32),
+                          jax.lax.bitcast_convert_type(jj, jnp.int32)])
 
     return fn
 
@@ -371,12 +372,12 @@ def resolve_device(buckets, bounds: np.ndarray, max_itv: int, max_nc: int,
         for (emit, _, jb, eo_d, base, nb, NBp), n_e in zip(done, counts):
             n_e = int(n_e)
             if n_e == 0:
-                sizes.append((0, 0))
+                sizes.append((0, 0, base))
                 continue
             S = _pow2(n_e)
             packs.append(_compress_fn(NBp, S)(
                 emit, eo_d, jb, jnp.float64(base)))
-            sizes.append((S, n_e))
+            sizes.append((S, n_e, base))
         if not packs:
             z = np.zeros(0, np.int64)
             return z, z, np.zeros(0, np.float64)
@@ -384,12 +385,13 @@ def resolve_device(buckets, bounds: np.ndarray, max_itv: int, max_nc: int,
         _dbg('emissions fetched')
         idx_l, eo_l, j_l = [], [], []
         off = 0
-        for S, n_e in sizes:
+        for S, n_e, base in sizes:
             if S == 0:
                 continue
-            idx_l.append(allp[0, off:off + n_e].astype(np.int64))
+            idx_l.append(allp[0, off:off + n_e].astype(np.int64) + base)
             eo_l.append(allp[1, off:off + n_e].astype(np.int64))
-            j_l.append(allp[2, off:off + n_e])
+            j_l.append(allp[2, off:off + n_e].view(np.float32)
+                       .astype(np.float64))
             off += S
         idx = np.concatenate(idx_l)
         eo_e = np.concatenate(eo_l)
