@@ -129,6 +129,28 @@ def value_and_replay_host(eq, ei, eo, bounds, dev_arrays, M, pct, cutoffs,
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
+def _pack_tables_fn(M: int):
+    """Pack the per-read interval tables into two int64 words per slot:
+    w1 = start*2^32 + end; w2 = lens<<48 | chrom<<32 | bitcast(size).
+    The valuing chunk then gathers 2 words per pair side instead of 4
+    arrays + lens — gather traffic is the valuing bottleneck."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(chrom, start, end, size, lens):
+        w1 = (start.astype(jnp.int64) * jnp.int64(1 << 32)
+              + end.astype(jnp.int64))
+        sbits = jax.lax.bitcast_convert_type(
+            size.astype(jnp.float32), jnp.uint32).astype(jnp.int64)
+        w2 = ((lens.astype(jnp.int64)[:, None] * jnp.int64(1 << 48))
+              + (chrom.astype(jnp.int64) * jnp.int64(1 << 32)) + sbits)
+        return w1, w2
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
 def _value_fn(C: int, M: int, NO: int):
     import jax
     import jax.numpy as jnp
@@ -136,24 +158,33 @@ def _value_fn(C: int, M: int, NO: int):
     from fslr_tpu.ops.jaccard import _jaccard_impl
 
     @jax.jit
-    def fn(key, eo, off, nb, chrom, start, end, size, valid, lens, cut,
-           over, pct, ts, mn):
+    def fn(key, eo, off, nb, w1, w2, cut, over, pct, ts, mn):
         k = jax.lax.dynamic_slice(key, (off,), (C,))
         o = jax.lax.dynamic_slice(eo, (off,), (C,)).astype(jnp.int32)
         pos = off + jnp.arange(C, dtype=jnp.int64)
         tail = pos >= nb
         eqs = (k // ts).astype(jnp.int32)
         rungid = jnp.where(tail, jnp.int64(-1), k // mn)
-        R2 = lens.shape[0]
+        R2 = w1.shape[0]
         a = jnp.clip(eqs, 0, R2 - 1)
         b = jnp.clip(o, 0, R2 - 1)
         iota = jnp.arange(M)[None, :]
-        la = lens[a]
-        lb = lens[b]
-        del valid        # masks derive from lens (saves an (C, M) gather)
-        j, n = _jaccard_impl(chrom[a], start[a], end[a], size[a],
-                             iota < la[:, None], chrom[b], start[b],
-                             end[b], size[b], iota < lb[:, None],
+
+        def unpack(w1g, w2g):
+            st = (w1g // jnp.int64(1 << 32)).astype(jnp.int32)
+            en = (w1g % jnp.int64(1 << 32)).astype(jnp.int32)
+            sz = jax.lax.bitcast_convert_type(
+                (w2g % jnp.int64(1 << 32)).astype(jnp.uint32),
+                jnp.float32)
+            ch = ((w2g // jnp.int64(1 << 32))
+                  % jnp.int64(1 << 16)).astype(jnp.int32)
+            ln = (w2g[:, 0] // jnp.int64(1 << 48)).astype(jnp.int32)
+            return ch, st, en, sz, ln
+
+        c1, s1, e1, z1, la = unpack(w1[a], w2[a])
+        c2, s2, e2, z2, lb = unpack(w1[b], w2[b])
+        j, n = _jaccard_impl(c1, s1, e1, z1, iota < la[:, None],
+                             c2, s2, e2, z2, iota < lb[:, None],
                              la, lb, pct, M)
         gated = (n > 0) & ~tail
         # cutoff comparison in float64 of the float32 jaccard — exactly
@@ -308,6 +339,10 @@ def resolve_device(buckets, bounds: np.ndarray, max_itv: int, max_nc: int,
         mn = jnp.int64(int(max_nc))
         pct_j = jnp.float32(pct)
 
+        # packed interval tables (2 gathers per pair side instead of 5)
+        w1_d, w2_d = _pack_tables_fn(M)(
+            dev_arrays[0], dev_arrays[1], dev_arrays[2], dev_arrays[3],
+            dev_arrays[5])
         done = []            # (emit_dev, count_dev, j_dev, eo_dev, base, NB, NBp)
         over_fix: dict[int, float] = {}     # global idx -> exact f64 j
         for key_d, eo_d, base, nb in buckets:
@@ -325,7 +360,7 @@ def resolve_device(buckets, bounds: np.ndarray, max_itv: int, max_nc: int,
                 key_p, eo_p = key_d, eo_d
             fn = _value_fn(C, M, NO)
             parts = [fn(key_p, eo_p, jnp.int64(off), jnp.int64(nb),
-                        *dev_arrays, cut_d, over_d, pct_j, ts, mn)
+                        w1_d, w2_d, cut_d, over_d, pct_j, ts, mn)
                      for off in range(0, NBp, C)]
             del key_p, eo_p
             if k == 1:

@@ -304,9 +304,12 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         return jh, nh
 
     if total_enc >= cfg.device_enum_min_encounters \
-            and trav_scale < (1 << 30):
+            and trav_scale < (1 << 30) \
+            and (chrom_a.max(initial=0) < (1 << 16)):
         # (trav_scale >= 2^30 would overflow the device path's packed
-        # 12-byte pair state — pathological interval counts stay host-side)
+        # 12-byte pair state, and >= 2^16 chromosome ids would overflow
+        # capwalk's packed interval tables — pathological datasets stay
+        # host-side)
         # scale path: enumeration + per-pair min-reduce AND the capped
         # traversal replay on device
         return _query_graph_device(
