@@ -88,6 +88,10 @@ class AlignConfig:
     seed_stride: int = 3            # query positions sampled for seeding
     max_kmer_occ: int = 16          # per-seed hit cap (occurrences above
                                     # this are sampled evenly; bwa -c analog)
+    occ_drop: int = 1000            # k-mers occurring more often than this
+                                    # in the genome are dropped from seeding
+                                    # entirely (bwa -c 1000,
+                                    # fslr/main.py:125)
     band_width: int = 128           # diagonal band half-width for extension
     max_candidates: int = 16        # diagonal bands extended per read/strand
     extension_margin: int = 256     # bp extended beyond the seed span

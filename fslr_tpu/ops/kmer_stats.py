@@ -121,20 +121,58 @@ def _runs_and_tel(seq, lens, mask, tel_table):
             tel_pct, R, trash)
 
 
-@functools.partial(jax.jit, static_argnames=('min_block_len',))
-def _block_gates_impl(seq, lens, mask, tel_table, min_block_len,
+@functools.partial(jax.jit, static_argnames=('min_block_len', 'tel_codes'))
+def _block_gates_impl(seq, lens, mask, tel_codes, min_block_len,
                       tel_thresh):
     """Cheap per-read gate: does any repeat run pass the length + telomere
     conditions of the junk test?  Only gated reads need the (much more
     expensive) segmented-sort rep score — junk requires blen > 150 AND
     tel_pct <= 0.3 AND rep >= 0.3 (filter_junk_from_fq.py:141-150), so a
-    False gate decides junk=False without computing rep."""
-    (mask, rid2d, flat_rid, flat_mask, col, blen, bid, bstart,
-     tel_pct, R, trash) = _runs_and_tel(seq, lens, mask, tel_table)
-    B = seq.shape[0]
-    gate_block = (blen > min_block_len) & (tel_pct <= tel_thresh)
-    gate_block = gate_block & (jnp.arange(R) != trash)
-    return jnp.zeros(B, jnp.bool_).at[bid].max(gate_block, mode='drop')
+    False gate decides junk=False without computing rep.
+
+    Implemented as pure row-wise scans (cumsum/cummax along L) — the
+    segment-id formulation scatter-added into B*L/2 segments, which is
+    the classic TPU scatter trap (~50 ms/batch; this is ~5 ms).  Runs are
+    maximal masked intervals, so "previous run start" is a cummax over
+    start positions and per-run telomere counts are differences of an
+    inclusive cumsum — no segment ids needed.  Telomere 6-mer membership
+    is a comparison against the ~150 rotation codes (elementwise, fused)
+    instead of a 5^6-table gather."""
+    B, L = seq.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    mask = mask & (pos < lens[:, None])
+
+    prev = jnp.pad(mask, ((0, 0), (1, 0)))[:, :-1]
+    nxt = jnp.pad(mask, ((0, 0), (0, 1)))[:, 1:]
+    is_start = mask & ~prev
+    is_end = mask & ~nxt
+
+    # member[p]: positions p..p+5 all masked (same run, inside len) and
+    # the 6-mer at p is a telomere rotation — identical to the
+    # rid2d == rid_k5 test in _runs_and_tel (contiguous masked positions
+    # share a run).
+    contig6 = mask
+    for j in range(1, 6):
+        contig6 = contig6 & jnp.pad(mask[:, j:], ((0, 0), (0, j)))
+    c6 = _kmer_codes_2d(seq, 6)
+    member = jnp.zeros_like(mask)
+    for code in tel_codes:
+        member = member | (c6 == code)
+    member = member & contig6
+
+    S = jnp.cumsum(member.astype(jnp.int32), axis=1)          # inclusive
+    E = S - member.astype(jnp.int32)                          # exclusive
+    # value at the most recent run start (E and pos are nondecreasing)
+    base = jax.lax.cummax(jnp.where(is_start, E, -1), axis=1)
+    s_pos = jax.lax.cummax(jnp.where(is_start, pos, -1), axis=1)
+
+    blen = pos - s_pos + 1
+    tel_cnt = S - base
+    tel_tot = jnp.maximum(blen - 5, 1)
+    tel_pct = tel_cnt.astype(jnp.float32) / tel_tot.astype(jnp.float32)
+    gate_block = (is_end & (blen > min_block_len)
+                  & (tel_pct <= tel_thresh))
+    return jnp.any(gate_block, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=('min_block_len',))
@@ -196,14 +234,21 @@ def junk_blocks(seq, lens, mask, cfg: JunkFilterConfig):
     return junk
 
 
+@functools.lru_cache(maxsize=4)
+def telomere_codes(k: int = 6) -> tuple[int, ...]:
+    """Sorted base-5 codes of the telomere rotation closure."""
+    return tuple(sorted(int(i) for i in
+                        np.flatnonzero(telomere_table(k))))
+
+
 def junk_gates(seq, lens, mask, cfg: JunkFilterConfig):
     """Per-read (B,) bool: True iff some repeat run passes the block-length
     + telomere gates, i.e. the read MIGHT be junk and needs the rep score.
     junk_blocks(...) implies junk_gates(...)."""
-    table = jnp.asarray(telomere_table(6))
     return _block_gates_impl(
         jnp.asarray(seq), jnp.asarray(lens, jnp.int32), jnp.asarray(mask),
-        table, cfg.min_block_length, float(cfg.telomere_pct_threshold))
+        telomere_codes(6), cfg.min_block_length,
+        float(cfg.telomere_pct_threshold))
 
 
 def junk_blocks_debug(seq, lens, mask, cfg: JunkFilterConfig):

@@ -129,7 +129,7 @@ def make_device_step(config: PipelineConfig, n_primer_targets: int,
         NCAND = min(acfg.max_candidates, 4)
         cand = seed.seed_candidates(
             reads, lens, counts, positions, k=k, stride=acfg.seed_stride,
-            occ_drop=1000, band_w=acfg.band_width // 2,
+            occ_drop=acfg.occ_drop, band_w=acfg.band_width // 2,
             max_cand=NCAND, S=n_seed_pos, C=16)
         G = genome.shape[0]
         qs_all, qe_all, sc_all, v_all = [], [], [], []

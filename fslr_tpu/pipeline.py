@@ -269,8 +269,7 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None,
     }
     panel = load_panel().subset(config.primers)
 
-    if not os.path.exists(config.out):
-        os.mkdir(config.out)
+    os.makedirs(config.out, exist_ok=True)
 
     if not config.skip_alignment:
         masked_ref_path = f'{basename}_temp_ref.fa'
@@ -317,7 +316,15 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None,
         for pth in fs:
             if os.path.getsize(pth) == 0:
                 raise ValueError(f"The file '{pth}' is empty.")
+        # Explicit per-process job lists, never shared-directory globs:
+        # in multi-process mode every process points at the same out dir,
+        # and find_primers.run_file deletes its input, so a glob here
+        # could claim (and destroy) a slower sibling's intermediate.
+        # The reference isolates workers the same way — uuid filenames
+        # plus explicit per-worker job lists (filter_junk_from_fq.py:213-216,
+        # main.py:95-114).
         handoff: dict[str, list] = {}
+        filtered_files: list[str] = []
         for pth in fs:
             with timer.stage('filter_junk'):
                 box: dict = {}
@@ -325,22 +332,26 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None,
                                          out_box=box)
             if 'path' in box:
                 handoff[box['path']] = box['reads']
+                filtered_files.append(box['path'])
             _merge_existing(filter_counts, c)
 
-        for pth in glob.glob(f'{config.out}/*filtered_junk.fq'):
+        no_primer_files: list[str] = []
+        for pth in filtered_files:
             if os.path.getsize(pth) == 0:
                 print(f"WARNING: The file '{pth}' is empty.",
                       file=sys.stderr)
             with timer.stage('find_primers'):
                 c = find_primers.run_file(pth, panel, config, backend,
                                           records=handoff.get(pth))
+            no_primer_files.append(
+                pth.replace('.filtered_junk.fq', '.no_primers.fq'))
             _merge_all(filter_counts, c)
 
         print('Filter counts: ', filter_counts, file=sys.stderr)
 
         # concatenate no-primer reads (main.py:118-119)
         with open(f'{basename}.without_primers.fq', 'w') as out:
-            for pth in sorted(glob.glob(f'{config.out}/*.no_primers.fq')):
+            for pth in sorted(no_primer_files):
                 with open(pth) as fh:
                     out.write(fh.read())
                 os.remove(pth)
@@ -361,7 +372,11 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None,
         # mapping-table frame.  Peak host memory is bounded by the chunk;
         # the final coordinate key-sort and the final bed sort are stable,
         # so artifacts are byte-identical to an unchunked run.
-        labelled = sorted(glob.glob(f'{basename}.*.primers_labelled.fq'))
+        # Explicit list again (not a glob): find_primers.run_file always
+        # writes one .primers_labelled.fq per filtered input.
+        labelled = sorted(
+            pth.replace('.filtered_junk.fq', '.primers_labelled.fq')
+            for pth in filtered_files)
         CH = config.batch.align_stream_reads
         bam_items: list = []
         dfs: list = []

@@ -473,7 +473,8 @@ def _seed_rows(cat: np.ndarray, off: np.ndarray, ref: Reference,
             res = dispatch.dp_call(
                 _seed_kernel, (jnp.asarray(arr), jnp.asarray(lens)),
                 (counts_j, pos_j),
-                statics=(k, acfg.seed_stride, 1000, acfg.band_width // 2,
+                statics=(k, acfg.seed_stride, acfg.occ_drop,
+                         acfg.band_width // 2,
                          acfg.max_candidates, S, occ_cap))
             # pack to ONE device array -> one host fetch per batch
             packed = jnp.stack([res[kk].astype(jnp.int32) for kk in _KEYS])

@@ -56,23 +56,26 @@ def _batch_from_codes(code_slices, L: int):
 
 
 def _batch_rows(reads, part, step: int, L: int):
-    """Padded (step, L) uint8 batch + lengths for read indices ``part``
-    via ONE strided gather over the columnar codes (the per-row fill loop
-    cost ~1 s per 10k reads across this stage's three batch sites)."""
+    """Padded (step, L) uint8 batch + lengths for read indices ``part``.
+
+    Rows are CONTIGUOUS slices of the columnar codes, so per-row memcpy
+    assignments beat a 2-D fancy gather ~10x (the (rows, L) int64 index
+    matrix alone is 8*rows*L bytes; numpy's bounds-checked gather runs
+    ~50 MB/s vs memcpy's GB/s)."""
     part_arr = np.asarray(part, np.int64)
     nb = len(part_arr)
     off = reads.seq_off
     cat = reads.codes
-    lf = (off[part_arr + 1] - off[part_arr]).astype(np.int64)
-    lw = np.minimum(lf, L)
-    ar = np.arange(L, dtype=np.int64)
     batch = np.full((step, L), 4, dtype=np.uint8)
     lens = np.zeros(step, dtype=np.int32)
     if nb:
-        pos = off[part_arr][:, None] + ar[None, :]
-        v = cat[np.minimum(pos, max(len(cat) - 1, 0))]
-        batch[:nb] = np.where(ar[None, :] < lw[:, None], v, 4)
+        lw = np.minimum(off[part_arr + 1] - off[part_arr], L).astype(np.int64)
         lens[:nb] = lw
+        starts = off[part_arr].tolist()
+        lw_l = lw.tolist()
+        for r in range(nb):
+            s = starts[r]
+            batch[r, :lw_l[r]] = cat[s:s + lw_l[r]]
     return batch, lens
 
 
@@ -120,8 +123,10 @@ def _mask_gate_packed(seq, lens, cfg):
 def filter_junk_records(reads, panel: PrimerPanel,
                         config: PipelineConfig, backend: str | None = None):
     """Classify reads (a FastxArrays, or a list of FastxRecord which is
-    columnarized first).  Returns (keep_flags, masks, junk, short, concat,
-    counters)."""
+    columnarized first).  Returns (keep_flags, flat_mask, junk, short,
+    concat, counters); ``flat_mask`` is a uint8 repeat mask aligned with
+    ``reads.codes`` (1 = masked), the columnar analog of tantan's
+    lowercase marking — per-read Python mask lists cost ~1 s/10k reads."""
     if isinstance(reads, list):
         reads = records_to_arrays(reads)
     cfg = config.junk
@@ -131,7 +136,8 @@ def filter_junk_records(reads, panel: PrimerPanel,
     rlens = reads.lengths()
     keep = np.ones(n, dtype=bool)
     junk = np.zeros(n, dtype=bool)
-    masks = [None] * n
+    flat_mask = np.zeros(len(reads.codes), np.uint8)
+    soff = reads.seq_off
 
     # ---- repeat masking + block scoring, bucketed by length ------------
     buckets: dict[int, list[int]] = {}
@@ -170,13 +176,19 @@ def filter_junk_records(reads, panel: PrimerPanel,
             msz = int(np.prod(mp.shape))
             m = np.unpackbits(
                 flat_m[mo:mo + msz].reshape(mp.shape).astype(np.uint8),
-                axis=1, bitorder='little')[:, :L].astype(bool)
-            g = flat_g[go:go + gd.shape[0]]
+                axis=1, bitorder='little')[:, :L]
             mo += msz
+            part_arr = np.asarray(part, np.int64)
+            nb = len(part_arr)
+            gate[part_arr] = flat_g[go:go + nb].astype(bool)
             go += gd.shape[0]
-            for bi, i in enumerate(part):
-                masks[i] = m[bi]
-                gate[i] = bool(g[bi])
+            # copy batch rows into the flat per-base mask (contiguous
+            # destination slices: memcpy, not scatter)
+            lw = np.minimum(rlens[part_arr], L).tolist()
+            starts = soff[part_arr].tolist()
+            for r in range(nb):
+                s = starts[r]
+                flat_mask[s:s + lw[r]] = m[r, :lw[r]]
 
     # ---- pass 2: rep score for gated reads only -------------------------
     gated = np.flatnonzero(gate)
@@ -197,8 +209,12 @@ def filter_junk_records(reads, panel: PrimerPanel,
                 step = min(step, cap)
                 seq, lens = _batch_rows(reads, part, step, L)
                 m = np.zeros((step, L), dtype=bool)
-                for bi, i in enumerate(part):
-                    m[bi, :len(masks[i])] = masks[i]
+                part_arr = np.asarray(part, np.int64)
+                lw = np.minimum(rlens[part_arr], L).tolist()
+                starts = soff[part_arr].tolist()
+                for r in range(len(part_arr)):
+                    s = starts[r]
+                    m[r, :lw[r]] = flat_mask[s:s + lw[r]]
                 j = dispatch.dp_call(kmer_stats.junk_blocks,
                                      (seq, lens, jnp.asarray(m)),
                                      statics=(cfg,))
@@ -232,47 +248,54 @@ def filter_junk_records(reads, panel: PrimerPanel,
         qrows = np.zeros((0, 128), np.uint8)
     n_qrows = len(qrows)
 
-    win_rows = []      # (read_idx, window_start, window_end, qrow_idx)
-    short = np.zeros(n, dtype=bool)
-    for i in range(n):
-        if junk[i]:
-            continue
-        L = int(rlens[i])
-        if L < cfg.min_read_length or L - 2 * cfg.end_trim <= 0:
-            short[i] = True
-            continue
-        for (s, e) in _concatemer_windows(L, cfg, overlap):
-            for qi in range(n_qrows):
-                win_rows.append((i, s, e, qi))
+    # window rows (read_idx, window_start, window_end, qrow_idx), built
+    # vectorized: almost every read fits one window (interior <=
+    # chunk_size); only long reads take the reference chunk walk
+    interior = rlens.astype(np.int64) - 2 * cfg.end_trim
+    short = ~junk & ((rlens < cfg.min_read_length) | (interior <= 0))
+    cand = np.flatnonzero(~junk & ~short)
+    simple = cand[interior[cand] <= cfg.chunk_size]
+    multi = cand[interior[cand] > cfg.chunk_size]
+    qi_tile = np.tile(np.arange(n_qrows, dtype=np.int64), len(simple))
+    wr_i = [np.repeat(simple, n_qrows)]
+    wr_s = [np.zeros(len(simple) * n_qrows, np.int64)]
+    wr_e = [np.repeat(interior[simple], n_qrows)]
+    wr_q = [qi_tile]
+    for i in multi:
+        for (s, e) in _concatemer_windows(int(rlens[i]), cfg, overlap):
+            wr_i.append(np.full(n_qrows, i, np.int64))
+            wr_s.append(np.full(n_qrows, s, np.int64))
+            wr_e.append(np.full(n_qrows, e, np.int64))
+            wr_q.append(np.arange(n_qrows, dtype=np.int64))
+    wr_i = np.concatenate(wr_i)
+    wr_s = np.concatenate(wr_s)
+    wr_e = np.concatenate(wr_e)
+    wr_q = np.concatenate(wr_q)
 
     concat = np.zeros(n, dtype=bool)
-    if win_rows:
-        wlen = max(e - s for (_, s, e, _) in win_rows)
+    if len(wr_i):
+        wlen = int(np.max(wr_e - wr_s))
         WT = bucket_length(wlen, (512, 1024, 1536, 2048, 3072, 4096,
                                   6144, 8192,
                                   cfg.chunk_size + 2 * overlap + 64))
         CHUNK = 8192     # fixed-shape chunks: stable compiled shapes
         pending = []
-        wr_i = np.array([r[0] for r in win_rows], np.int64)
-        wr_s = np.array([r[1] for r in win_rows], np.int64)
-        wr_e = np.array([r[2] for r in win_rows], np.int64)
-        wr_q = np.array([r[3] for r in win_rows], np.int64)
-        arw = np.arange(WT, dtype=np.int64)
         cat_all = reads.codes
-        soff = reads.seq_off
-        for off in range(0, len(win_rows), CHUNK):
-            rows = win_rows[off:off + CHUNK]
-            NW = len(rows)
-            sl = slice(off, off + NW)
-            # interior window [end_trim+s, end_trim+e) of each read, as
-            # one strided gather (clipped to the read's interior end)
+        for off in range(0, len(wr_i), CHUNK):
+            sl = slice(off, min(off + CHUNK, len(wr_i)))
+            # interior window [end_trim+s, end_trim+e) of each read
+            # (clipped to the read's interior end); windows are
+            # contiguous code slices — per-row memcpy, not a 2-D gather
             we = np.minimum(wr_e[sl],
                             rlens[wr_i[sl]] - 2 * cfg.end_trim)
             wl = np.maximum(we - wr_s[sl], 0)
             start = soff[wr_i[sl]] + cfg.end_trim + wr_s[sl]
-            pos = start[:, None] + arw[None, :]
-            v = cat_all[np.minimum(pos, max(len(cat_all) - 1, 0))]
-            t = np.where(arw[None, :] < wl[:, None], v, 4).astype(np.uint8)
+            nw = len(wl)
+            t = np.full((nw, WT), 4, dtype=np.uint8)
+            st_l, wl_l = start.tolist(), wl.tolist()
+            for r in range(nw):
+                s = st_l[r]
+                t[r, :wl_l[r]] = cat_all[s:s + wl_l[r]]
             tlens = wl.astype(np.int32)
             q = qrows[wr_q[sl]]
             score, _, _ = dispatch.dp_call(
@@ -280,18 +303,11 @@ def filter_junk_records(reads, panel: PrimerPanel,
                 statics=(config.scoring, stride, backend))
             instrument.add_cells(int(tlens.sum(dtype=np.int64)) * 128,
                                  'sw_concat')
-            pending.append((rows, score))
+            pending.append(score)
         flat_s = np.asarray(jnp.concatenate(
-            [jnp.ravel(s) for (_, s) in pending]) if len(pending) > 1
-            else jnp.ravel(pending[0][1]))
-        so = 0
-        for rows, score in pending:
-            ns = int(np.prod(score.shape))
-            svals = flat_s[so:so + ns]
-            so += ns
-            for r, (i, s, e, qi) in enumerate(rows):
-                if svals[r] >= cfg.concatemer_score:
-                    concat[i] = True
+            [jnp.ravel(s) for s in pending]) if len(pending) > 1
+            else jnp.ravel(pending[0]))
+        concat[wr_i[flat_s >= cfg.concatemer_score]] = True
 
     # ---- decisions + counters (reference order: junk, then short/concat).
     # Totals go through dispatch.dp_sum: plain numpy sums single-device,
@@ -305,7 +321,7 @@ def filter_junk_records(reads, panel: PrimerPanel,
     counters['concatemers_dropped'] = nc
     counters['total_kept'] = nk
     counters['total_dropped'] = n - nk
-    return keep, masks, junk, short, concat, counters
+    return keep, flat_mask, junk, short, concat, counters
 
 
 def run_file(path: str, panel: PrimerPanel, config: PipelineConfig,
@@ -317,44 +333,68 @@ def run_file(path: str, panel: PrimerPanel, config: PipelineConfig,
     receives {'path': out_path, 'reads': kept masked FastxArrays} so the
     primer stage can skip re-parsing the intermediate file (the file is
     still written — it is the resume/inspection contract)."""
+    from fslr_tpu.io.native import _DECODE, FastxArrays
+
     reads = read_reads(path)
-    keep, masks, junk, short, concat, counters = filter_junk_records(
+    keep, flat_mask, junk, short, concat, counters = filter_junk_records(
         reads, panel, config, backend)
     temp_name = str(uuid.uuid4())
     out_path = os.path.join(config.out,
                             f'{config.name}.{temp_name}.filtered_junk.fq')
     junk_path = os.path.join(config.out, f'{config.name}.{temp_name}.junk.fq')
+    # the reference writes tantan's FASTA records: qualities are dropped,
+    # repeats lowercase (filter_junk_from_fq.py:170-172).  Decode ALL
+    # sequences in one vector pass (ASCII | 0x20 where masked); the
+    # per-read loop below is pure C-level bytes slicing.
+    raw = _DECODE[reads.codes]
+    if flat_mask.any():
+        raw = raw | (flat_mask.astype(np.uint8) << 5)
+    seq_buf = raw.tobytes()
+    soff = reads.seq_off.tolist()
+    noff = reads.name_off.tolist()
+    coff = reads.comment_off.tolist()
+    names_b, comm_b = reads._names, reads._comments
     kept_idx = []
-    with open(out_path, 'w', buffering=1 << 20) as out, \
-         open(junk_path, 'w') as junkf:
-        for i in range(reads.n):
-            # the reference writes tantan's FASTA records: qualities are
-            # dropped, repeats lowercase (filter_junk_from_fq.py:170-172)
-            seq = reads.seq_str(i, lower=masks[i])
-            name = reads.name(i)
-            comment = reads.comment(i)
-            head = name if not comment else f'{name} {comment}'
-            if keep[i]:
-                out.write(f'>{head}\n{seq}\n')
-                kept_idx.append(i)
-            elif config.keep_temp:
-                if junk[i]:
-                    suffix = '_junk'
-                elif short[i]:
-                    suffix = '_short'
-                else:
-                    suffix = '_concatemer'
-                head = (f'{name}{suffix}' if not comment
-                        else f'{name}{suffix} {comment}')
-                junkf.write(f'>{head}\n{seq}\n')
+    parts: list[bytes] = []
+    jparts: list[bytes] = []
+    keep_l, junk_l, short_l = keep.tolist(), junk.tolist(), short.tolist()
+    for i in range(reads.n):
+        if keep_l[i]:
+            head = names_b[noff[i]:noff[i + 1]]
+            c = comm_b[coff[i]:coff[i + 1]]
+            if c:
+                head = head + b' ' + c
+            parts.append(b'>' + head + b'\n'
+                         + seq_buf[soff[i]:soff[i + 1]] + b'\n')
+            kept_idx.append(i)
+        elif config.keep_temp:
+            suffix = (b'_junk' if junk_l[i]
+                      else b'_short' if short_l[i] else b'_concatemer')
+            head = names_b[noff[i]:noff[i + 1]] + suffix
+            c = comm_b[coff[i]:coff[i + 1]]
+            if c:
+                head = head + b' ' + c
+            jparts.append(b'>' + head + b'\n'
+                          + seq_buf[soff[i]:soff[i + 1]] + b'\n')
+    with open(out_path, 'wb') as out:
+        out.write(b''.join(parts))
+    if config.keep_temp:
+        with open(junk_path, 'wb') as junkf:
+            junkf.write(b''.join(jparts))
     if out_box is not None:
-        kept = reads.subset(
-            kept_idx,
-            lower_override=[np.asarray(masks[i], np.uint8)
-                            for i in kept_idx])
-        kept._quals = b''       # the handoff mirrors the FASTA file
+        if len(kept_idx) == reads.n:
+            # all kept: reuse the columnar buffers, no copies
+            kept = FastxArrays(
+                reads.n, reads.codes, flat_mask.astype(np.uint8),
+                reads.seq_off, reads._names, reads.name_off,
+                b'', reads.qual_off, reads._comments, reads.comment_off)
+        else:
+            so = reads.seq_off
+            kept = reads.subset(
+                kept_idx,
+                lower_override=[flat_mask[so[i]:so[i + 1]]
+                                for i in kept_idx])
+            kept._quals = b''   # the handoff mirrors the FASTA file
         out_box['path'] = out_path
         out_box['reads'] = kept
-    if not config.keep_temp:
-        os.remove(junk_path)
     return dict(counters)

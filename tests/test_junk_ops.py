@@ -129,3 +129,24 @@ def test_repeat_mask_random_clean():
     seq, lens = batch_encode(reads, 1024)
     mask = np.asarray(tantan.repeat_mask(seq, lens, CFG))
     assert mask.mean() < 0.05, mask.mean()
+
+
+def test_repeat_mask_pallas_matches_jax():
+    """Interpret-mode Pallas HMM kernel vs the lax.scan reference path:
+    decisions must agree everywhere (the kernel mirrors the scan's
+    arithmetic; normalization deferral cancels in the posterior ratio)."""
+    rng = np.random.default_rng(7)
+    B, L = 16, 512
+    seq = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    # plant tandem repeats of assorted periods + an N run
+    for r, p in ((0, 7), (1, 3), (2, 64), (5, 11)):
+        s = int(rng.integers(0, L - 400))
+        seq[r, s:s + 400] = np.tile(seq[r, s:s + p], 400 // p + 1)[:400]
+    seq[3, 200:230] = 4
+    lens = rng.integers(L // 2, L + 1, B).astype(np.int32)
+    m_jax = np.asarray(tantan.repeat_mask(seq, lens, CFG, backend='jax'))
+    m_pal = np.asarray(tantan.repeat_mask(seq, lens, CFG,
+                                          backend='pallas_interpret'))
+    assert m_jax.sum() > 500          # the planted repeats are masked
+    mism = int((m_jax != m_pal).sum())
+    assert mism == 0, mism
