@@ -76,6 +76,34 @@ def load_reference(path: str) -> Reference:
                      codes=codes)
 
 
+def packed_seed_table(sidx: SeedIndex, C: int) -> np.ndarray:
+    """(4^k, 1 + C) int32 packed seed table: column 0 is each k-mer's
+    occurrence count, columns 1..C its evenly sampled reference positions
+    (same sampling as ops/seed.seed_candidates' legacy take: start +
+    (ci * occ) // C when occ > C, else start + ci).  One device row
+    gather replaces three scalar gathers in the seeding kernel.  Cached
+    on the SeedIndex; callers gate by C (HBM cost is 4^k * (1+C) * 4 B —
+    ~100 MB at C=5, so large-C repetitive-genome indexes keep the legacy
+    counts/positions path)."""
+    cached = getattr(sidx, '_packed_tab', None)
+    if cached is not None and cached.shape[1] == C + 1:
+        return cached
+    counts = sidx.counts.astype(np.int64)
+    occ = np.diff(counts)
+    n = len(occ)
+    starts = counts[:-1]
+    pos = sidx.positions
+    tab = np.zeros((n, C + 1), np.int32)
+    tab[:, 0] = np.minimum(occ, 2 ** 31 - 1)
+    use = np.minimum(occ, C)
+    for ci in range(C):
+        idx = starts + np.where(occ > C, (ci * occ) // C, ci)
+        v = pos[np.minimum(idx, max(len(pos) - 1, 0))]
+        tab[:, 1 + ci] = np.where(ci < use, v, 0)
+    sidx._packed_tab = tab
+    return tab
+
+
 def build_seed_index(ref: Reference, k: int,
                      max_shard_bases: int = MAX_UNSHARDED_BASES
                      ) -> SeedIndex:

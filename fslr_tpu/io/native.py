@@ -28,16 +28,22 @@ def _load():
         return _LIB
     _TRIED = True
     so = os.path.join(_NATIVE_DIR, 'libfslr_native.so')
-    if not os.path.exists(so):
+    src = os.path.join(_NATIVE_DIR, 'fslr_native.cpp')
+    stale = (os.path.exists(so) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(so))
+    if not os.path.exists(so) or stale:
         try:
+            if stale:
+                os.remove(so)
             subprocess.run(['make', '-C', _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)
         except Exception as e:
             import sys
-            print(f'WARNING: native parser build failed '
-                  f'({type(e).__name__}: {e}); falling back to the '
-                  f'Python FASTQ parser', file=sys.stderr)
-            return None
+            if not os.path.exists(so):
+                print(f'WARNING: native parser build failed '
+                      f'({type(e).__name__}: {e}); falling back to the '
+                      f'Python FASTQ parser', file=sys.stderr)
+                return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:
@@ -52,8 +58,42 @@ def _load():
     lib.fslr_fastx_copy.restype = None
     lib.fslr_fastx_copy.argtypes = [ctypes.c_void_p] * 10
     lib.fslr_fastx_free.argtypes = [ctypes.c_void_p]
+    # emit-stream RLE decoder (older prebuilt .so may lack the symbols)
+    try:
+        lib.fslr_decode_emits.restype = ctypes.c_void_p
+        lib.fslr_decode_emits.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+        lib.fslr_emits_total.restype = ctypes.c_int64
+        lib.fslr_emits_total.argtypes = [ctypes.c_void_p]
+        lib.fslr_emits_copy.restype = None
+        lib.fslr_emits_copy.argtypes = [ctypes.c_void_p] * 4
+        lib.fslr_emits_free.argtypes = [ctypes.c_void_p]
+    except AttributeError:
+        pass
     _LIB = lib
     return _LIB
+
+
+def decode_emits(blocks: np.ndarray):
+    """RLE-decode a (n, t4) block of 2-bit-packed emit rows natively.
+    Returns (seg_off[n+1], seg_len, seg_op) int32/int32/uint8 arrays, or
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, 'fslr_decode_emits'):
+        return None
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
+    n, t4 = blocks.shape
+    h = lib.fslr_decode_emits(
+        blocks.ctypes.data_as(ctypes.c_void_p), n, t4)
+    total = lib.fslr_emits_total(h)
+    off = np.empty(n + 1, np.int32)
+    seg_len = np.empty(total, np.int32)
+    seg_op = np.empty(max(total, 1), np.uint8)
+    lib.fslr_emits_copy(h, off.ctypes.data_as(ctypes.c_void_p),
+                        seg_len.ctypes.data_as(ctypes.c_void_p),
+                        seg_op.ctypes.data_as(ctypes.c_void_p))
+    lib.fslr_emits_free(h)
+    return off, seg_len, seg_op[:total]
 
 
 class FastxArrays:

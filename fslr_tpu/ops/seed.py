@@ -115,7 +115,7 @@ def _bucket_lo(diag_s, band_w):
     static_argnames=('k', 'stride', 'occ_drop', 'band_w', 'max_cand', 'S',
                      'C'))
 def seed_candidates(reads, lens, counts, positions, *, k, stride,
-                    occ_drop, band_w, max_cand, S, C):
+                    occ_drop, band_w, max_cand, S, C, table=None):
     """Find candidate diagonal bands for each read (one strand).
 
     Args:
@@ -125,6 +125,12 @@ def seed_candidates(reads, lens, counts, positions, *, k, stride,
       positions: (N,) int32 global reference positions, k-mer sorted.
       S: number of sampled query positions (static; = (L - k)//stride + 1).
       C: per-seed occurrence cap (static).
+      table: optional (4^k, 1 + C) int32 packed seed table — column 0 is
+        the k-mer's occurrence count, columns 1..C the pre-sampled
+        positions (index/reference.packed_seed_table).  One row gather
+        replaces the three scalar gathers (counts x2 + positions), the
+        dominant cost of this kernel on TPU (~60 of ~90 ms per 512-read
+        batch); counts/positions are ignored when given.
     Returns dict of (B, max_cand) arrays: diag, count, qmin, qmax, rmin,
       rmax, valid.
     """
@@ -142,20 +148,31 @@ def seed_candidates(reads, lens, counts, positions, *, k, stride,
         valid &= col < 4
     valid &= (qpos[None, :] + k) <= lens[:, None]
 
-    counts = counts.astype(jnp.int32)
-    start = counts[code]                                       # (B, S)
-    occ = counts[code + 1] - start
-    valid &= (occ > 0) & (occ <= occ_drop)                     # bwa -c analog
-    use = jnp.minimum(occ, C)
-
-    # evenly sample occ_cap hits from each seed's occurrence list
     cidx = jnp.arange(C, dtype=jnp.int32)                      # (C,)
-    take = start[:, :, None] + jnp.where(
-        occ[:, :, None] > C,
-        (cidx[None, None, :] * occ[:, :, None]) // C,
-        cidx[None, None, :])
-    hit_valid = valid[:, :, None] & (cidx[None, None, :] < use[:, :, None])
-    rpos = positions.astype(jnp.int32)[jnp.clip(take, 0, len(positions) - 1)]
+    if table is not None:
+        row = table[code]                                      # (B, S, 1+C)
+        occ = row[:, :, 0]
+        valid &= (occ > 0) & (occ <= occ_drop)                 # bwa -c analog
+        use = jnp.minimum(occ, C)
+        rpos = row[:, :, 1:]
+        hit_valid = (valid[:, :, None]
+                     & (cidx[None, None, :] < use[:, :, None]))
+    else:
+        counts = counts.astype(jnp.int32)
+        start = counts[code]                                   # (B, S)
+        occ = counts[code + 1] - start
+        valid &= (occ > 0) & (occ <= occ_drop)                 # bwa -c analog
+        use = jnp.minimum(occ, C)
+
+        # evenly sample occ_cap hits from each seed's occurrence list
+        take = start[:, :, None] + jnp.where(
+            occ[:, :, None] > C,
+            (cidx[None, None, :] * occ[:, :, None]) // C,
+            cidx[None, None, :])
+        hit_valid = (valid[:, :, None]
+                     & (cidx[None, None, :] < use[:, :, None]))
+        rpos = positions.astype(jnp.int32)[
+            jnp.clip(take, 0, len(positions) - 1)]
     diag = rpos - qpos[None, :, None]                          # (B, S, C)
 
     M = S * C

@@ -38,8 +38,10 @@ import numpy as np
 
 from fslr_tpu import instrument
 from fslr_tpu.config import PipelineConfig
-from fslr_tpu.encode import bucket_length, encode, revcomp
+from fslr_tpu.encode import _COMP, bucket_length, encode, revcomp
 from fslr_tpu.index.reference import Reference, SeedIndex
+from fslr_tpu.index.reference import packed_seed_table \
+    as refmod_packed_seed_table
 from fslr_tpu.ops import banded, seed, selection
 from fslr_tpu.parallel import dispatch
 
@@ -380,6 +382,39 @@ def _seed_kernel(reads, lens, counts, positions, k, stride, occ_drop,
                                 band_w=band_w, max_cand=max_cand, S=S, C=C)
 
 
+def _seed_kernel_tab(reads, lens, table, k, stride, occ_drop,
+                     band_w, max_cand, S, C):
+    """Packed-seed-table variant (one row gather instead of three scalar
+    gathers; index/reference.packed_seed_table)."""
+    return seed.seed_candidates(reads, lens, None, None, k=k,
+                                stride=stride, occ_drop=occ_drop,
+                                band_w=band_w, max_cand=max_cand, S=S, C=C,
+                                table=table)
+
+
+# Largest occurrence cap for which the packed seed table is used: HBM is
+# 4^k * (1+C) * 4 B per index (~100 MB at k=11, C=5); repetitive genomes
+# (C=16, sharded human: one table per shard) stay on the legacy path.
+_MAX_TABLE_C = 8
+
+
+def _device_table(sidx: SeedIndex, C: int):
+    mesh = dispatch.active_mesh()
+    cached_mesh, cached, cached_c = getattr(sidx, '_dev_tab',
+                                            (None, None, -1))
+    if cached is None or cached_mesh is not mesh or cached_c != C:
+        import jax
+        import jax.numpy as jnp
+        tab = refmod_packed_seed_table(sidx, C)
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            cached = jax.device_put(tab, NamedSharding(mesh, P()))
+        else:
+            cached = jnp.asarray(tab)
+        sidx._dev_tab = (mesh, cached, C)
+    return cached
+
+
 def _extend_kernel(q, qlens, ws, cmin, cmax, genome, scoring, backend):
     """banded_extend adapter: its packed result is (6, N) — batch-minor —
     so transpose to batch-major for the sharded dispatch; the call site
@@ -428,6 +463,8 @@ def _seed_rows(cat: np.ndarray, off: np.ndarray, ref: Reference,
     k = acfg.seed_k
     _, counts_j, pos_j = _device_arrays(ref, sidx)
     occ_cap = _occ_cap(sidx, acfg)
+    use_tab = occ_cap <= _MAX_TABLE_C
+    tab_j = _device_table(sidx, occ_cap) if use_tab else None
 
     n_reads = len(off) - 1
     rlens = np.diff(off)
@@ -459,23 +496,32 @@ def _seed_rows(cat: np.ndarray, off: np.ndarray, ref: Reference,
             lw = np.minimum(lf, L)
             arr = np.full((2 * step, L), 4, dtype=np.uint8)
             lens = np.zeros(2 * step, dtype=np.int32)
-            m = ar[None, :] < lw[:, None]
-            fidx = off[part][:, None] + ar[None, :]
-            fv = cat[np.minimum(fidx, len(cat) - 1)]
-            arr[:nb] = np.where(m, fv, 4)
-            # reverse-complement rows: rc[j] = comp(fwd[len-1-j])
-            ridx2 = off[part][:, None] + (lf[:, None] - 1 - ar[None, :])
-            rv = cat[np.clip(ridx2, 0, len(cat) - 1)]
-            rv = np.where(rv < 4, 3 - rv, 4).astype(np.uint8)
-            arr[step:step + nb] = np.where(m, rv, 4)
+            # rows are contiguous slices of cat (fwd) / reversed
+            # complemented slices (rc) — per-row memcpy beats the 2-D
+            # fancy gather ~10x (see filter_junk._batch_rows)
+            st_l = off[part].tolist()
+            lw_l = lw.tolist()
+            lf_l = lf.tolist()
+            for r in range(nb):
+                s, w = st_l[r], lw_l[r]
+                arr[r, :w] = cat[s:s + w]
+            for r in range(nb):
+                s, w, lfr = st_l[r], lw_l[r], lf_l[r]
+                # rc[j] = comp(fwd[len-1-j]): last w bases when truncated
+                arr[step + r, :w] = _COMP[cat[s + lfr - w:s + lfr]][::-1]
             lens[:nb] = lw
             lens[step:step + nb] = lw
-            res = dispatch.dp_call(
-                _seed_kernel, (jnp.asarray(arr), jnp.asarray(lens)),
-                (counts_j, pos_j),
-                statics=(k, acfg.seed_stride, acfg.occ_drop,
-                         acfg.band_width // 2,
-                         acfg.max_candidates, S, occ_cap))
+            statics = (k, acfg.seed_stride, acfg.occ_drop,
+                       acfg.band_width // 2,
+                       acfg.max_candidates, S, occ_cap)
+            if use_tab:
+                res = dispatch.dp_call(
+                    _seed_kernel_tab, (jnp.asarray(arr), jnp.asarray(lens)),
+                    (tab_j,), statics=statics)
+            else:
+                res = dispatch.dp_call(
+                    _seed_kernel, (jnp.asarray(arr), jnp.asarray(lens)),
+                    (counts_j, pos_j), statics=statics)
             # pack to ONE device array -> one host fetch per batch
             packed = jnp.stack([res[kk].astype(jnp.int32) for kk in _KEYS])
             seed_pending.append((part, step, nb, packed))
@@ -565,7 +611,6 @@ def _extend_rows(cands: Cands, cat: np.ndarray, off: np.ndarray,
         # chunk rows so device-resident traceback bits stay bounded
         # (~SL*16 int32 per row; bits never leave the device)
         rows_per = max(128, min(8192, (1 << 28) // max(SL * 64, 1)))
-        ar = np.arange(SL, dtype=np.int64)
         for o in range(0, len(cidxs), rows_per):
             chunk = cidxs[o:o + rows_per]
             ri = cands.ridx[chunk]
@@ -573,15 +618,23 @@ def _extend_rows(cands: Cands, cat: np.ndarray, off: np.ndarray,
             ql = qlo[chunk]
             qlens = np.minimum(qlens_all[chunk], SL).astype(np.int32)
             # fwd rows read cat[off+qlo+j]; rc rows read the read's
-            # reverse complement: rc[qlo+j] = comp(fwd[L-1-qlo-j])
-            start_f = off[ri] + ql
-            start_r = off[ri] + (Lq[chunk] - 1 - ql)
-            pos = np.where(sv[:, None],
-                           start_r[:, None] - ar[None, :],
-                           start_f[:, None] + ar[None, :])
-            v = cat[np.clip(pos, 0, len(cat) - 1)]
-            v = np.where(sv[:, None] & (v < 4), 3 - v, v).astype(np.uint8)
-            q = np.where(ar[None, :] < qlens[:, None], v, 4)
+            # reverse complement: rc[qlo+j] = comp(fwd[L-1-qlo-j]).
+            # Every row is a contiguous (or reversed) slice of cat —
+            # per-row memcpy, not a 2-D fancy gather.
+            start_f = (off[ri] + ql).tolist()
+            # rc row j spans cat[L-1-ql-(w-1) .. L-1-ql] reversed
+            end_r = (off[ri] + (Lq[chunk] - ql)).tolist()
+            sv_l = sv.tolist()
+            w_l = qlens.tolist()
+            q = np.full((len(chunk), SL), 4, dtype=np.uint8)
+            for r in range(len(chunk)):
+                w = w_l[r]
+                if sv_l[r]:
+                    e = end_r[r]
+                    q[r, :w] = _COMP[cat[e - w:e]][::-1]
+                else:
+                    s = start_f[r]
+                    q[r, :w] = cat[s:s + w]
             packed_t, emits = dispatch.dp_call(
                 _extend_kernel,
                 (q, qlens, ws_all[chunk], cmin_all[chunk],

@@ -162,7 +162,68 @@ Parsed* parse(const std::string& data) {
 
 }  // namespace
 
+// Run-length decode of traceback emit streams (ops/traceback.py): rows of
+// 2-bit codes packed 4/byte (0/1/2 = M/I/D, 3 = none), emitted end->start
+// so each row is scanned byte-reversed, high shift first.  The numpy
+// decode materializes an index pair per emitted base (~16 bytes/base);
+// this is a plain byte scan.
+struct Emits {
+  std::vector<int32_t> off;   // n+1 segment offsets
+  std::vector<int32_t> len;   // segment lengths
+  std::vector<uint8_t> op;    // segment op codes (0/1/2)
+};
+
 extern "C" {
+
+void* fslr_decode_emits(const uint8_t* blocks, int64_t n, int64_t t4) {
+  Emits* E = new Emits();
+  E->off.resize(n + 1);
+  E->off[0] = 0;
+  E->len.reserve((size_t)n * 8);
+  E->op.reserve((size_t)n * 8);
+  for (int64_t r = 0; r < n; ++r) {
+    const uint8_t* row = blocks + r * t4;
+    int cur = -1;
+    int32_t run = 0;
+    for (int64_t b = t4 - 1; b >= 0; --b) {
+      uint8_t by = row[b];
+      if (by == 0xff) continue;          // 4x "none": padding fast path
+      for (int sh = 6; sh >= 0; sh -= 2) {
+        int c = (by >> sh) & 3;
+        if (c == 3) continue;
+        if (c == cur) {
+          ++run;
+        } else {
+          if (cur >= 0) {
+            E->len.push_back(run);
+            E->op.push_back((uint8_t)cur);
+          }
+          cur = c;
+          run = 1;
+        }
+      }
+    }
+    if (cur >= 0) {
+      E->len.push_back(run);
+      E->op.push_back((uint8_t)cur);
+    }
+    E->off[r + 1] = (int32_t)E->len.size();
+  }
+  return E;
+}
+
+int64_t fslr_emits_total(void* h) {
+  return (int64_t)((Emits*)h)->len.size();
+}
+
+void fslr_emits_copy(void* h, int32_t* off, int32_t* len, uint8_t* op) {
+  Emits* E = (Emits*)h;
+  memcpy(off, E->off.data(), E->off.size() * 4);
+  memcpy(len, E->len.data(), E->len.size() * 4);
+  memcpy(op, E->op.data(), E->op.size());
+}
+
+void fslr_emits_free(void* h) { delete (Emits*)h; }
 
 // Parse a file; returns an opaque handle (or null).  Use the accessors to
 // copy sizes/buffers out, then free.

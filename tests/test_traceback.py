@@ -113,3 +113,23 @@ def test_device_walk_matches_host_walk():
         assert dev_cigars[r] == host_cigars[r], r
         assert int(qstart2[r]) == int(i_fin[r]) + 1
         assert int(lf2[r]) == int(l_fin[r])
+
+
+def test_decode_emit_rows_native_matches_numpy():
+    """Native C++ RLE (fslr_decode_emits) vs the numpy decode path on
+    random packed blocks, including all-padding rows."""
+    import numpy as np
+    from fslr_tpu.io.native import decode_emits
+    from fslr_tpu.ops import traceback as tbmod
+    rng = np.random.default_rng(11)
+    n, t4 = 64, 96
+    blocks = rng.integers(0, 256, (n, t4)).astype(np.uint8)
+    blocks[5] = 0xff                      # all "none"
+    blocks[6, :t4 // 2] = 0xff            # half padding
+    dec = decode_emits(blocks)
+    if dec is None:
+        import pytest
+        pytest.skip('native library unavailable')
+    got = tbmod.decode_emit_rows(blocks)
+    want = [tbmod.decode_emit_row(blocks[r]) for r in range(n)]
+    assert got == want
