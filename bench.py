@@ -113,7 +113,25 @@ def measure(tag, n_reads=N_READS, repeats=3):
         'dp_cells_per_s': int(total_cells / dt),
         'align_dp_cells_per_s': (int(cells.get('extend', 0) / align_s)
                                  if align_s else 0),
+        'stage_cells_per_s': stage_cells_per_s(cells, stages),
     }
+
+
+# cell-tag -> pipeline stage (round-3 verdict item 7: per-stage device
+# cells/s as a true utilization metric)
+_TAG_STAGE = {'seed': 'align', 'extend': 'align', 'select': 'align',
+              'sw_primer': 'find_primers', 'sw_concat': 'filter_junk',
+              'hmm': 'filter_junk', 'jaccard': 'clustering',
+              'profile': 'consensus'}
+
+
+def stage_cells_per_s(cells, stages):
+    per = {}
+    for tag, n in cells.items():
+        st = _TAG_STAGE.get(tag, tag)
+        per[st] = per.get(st, 0) + n
+    return {st: int(n / stages[st]) for st, n in per.items()
+            if stages.get(st, 0) > 0.05}
 
 
 def run_scale(n_reads, n_groups):
@@ -138,6 +156,7 @@ def run_scale(n_reads, n_groups):
         'stage_s': {k: round(v, 2) for k, v in sorted(
             stages.items(), key=lambda x: -x[1])},
         'dp_cells': cells,
+        'stage_cells_per_s': stage_cells_per_s(cells, stages),
     }))
 
 
@@ -192,10 +211,12 @@ def main():
         'align_dp_cells_per_s': tpu['align_dp_cells_per_s'],
         'dp_cells_per_s': tpu['dp_cells_per_s'],
     }
+    out['stage_cells_per_s'] = tpu['stage_cells_per_s']
     if r10k is not None:
         out['reads_per_s_10k'] = round(r10k['reads_per_s'], 2)
         out['stage_s_10k'] = r10k['stage_s']
         out['align_dp_cells_per_s_10k'] = r10k['align_dp_cells_per_s']
+        out['stage_cells_per_s_10k'] = r10k['stage_cells_per_s']
     print(json.dumps(out))
 
 

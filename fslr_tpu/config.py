@@ -128,6 +128,15 @@ class ClusterConfig:
     filter_high_coverage: bool = False
     filter_false: bool = False
     max_intervals_per_read: int = 32   # fixed-shape cap for the Jaccard kernel
+    # When a query reaches the soft edge cap (edge_threshold), the
+    # reference walk's seen_edges bookkeeping becomes dynamic (skipped
+    # pairs are re-testable, cluster.py:205-224) and the closed-form
+    # first-encounter replay is no longer bit-exact on EDGES (components
+    # are unaffected in every observed case; the output beds depend only
+    # on components).  With this flag the host path replays capped walks
+    # exactly over the full multi-occurrence stream; the device/spill
+    # scale paths always use the closed form (see ops/capwalk.py).
+    exact_cap_replay: bool = True
     # encounter streams above this size enumerate + min-reduce ON DEVICE
     # (ops/encounters.py) instead of host numpy; the capped-traversal
     # replay (ops/capwalk.py) then values entries without them ever

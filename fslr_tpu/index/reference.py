@@ -96,8 +96,19 @@ def packed_seed_table(sidx: SeedIndex, C: int) -> np.ndarray:
     tab = np.zeros((n, C + 1), np.int32)
     tab[:, 0] = np.minimum(occ, 2 ** 31 - 1)
     use = np.minimum(occ, C)
+    # hash-staggered sampling phase: without it every k-mer of a tandem
+    # repeat samples the SAME C of occ copies, giving each sampled
+    # copy-diagonal the repeat's full seed density and starving distinct
+    # segments out of the candidate slots (tests/test_repetitive_recall);
+    # a per-kmer phase spreads density evenly over all occ copies while
+    # keeping every copy discoverable.  Mirrors ops/seed.seed_candidates'
+    # counts-path sampling.
+    step = np.maximum(occ // C, 1)
+    # uint32 wraparound product, matching the kernel's jnp.uint32 hash
+    phase = ((np.arange(n, dtype=np.uint32) * np.uint32(2654435761))
+             >> np.uint32(20)).astype(np.int64) % step
     for ci in range(C):
-        idx = starts + np.where(occ > C, (ci * occ) // C, ci)
+        idx = starts + np.where(occ > C, (ci * occ) // C + phase, ci)
         v = pos[np.minimum(idx, max(len(pos) - 1, 0))]
         tab[:, 1 + ci] = np.where(ci < use, v, 0)
     sidx._packed_tab = tab

@@ -9,7 +9,7 @@ interval's neighbor run on every valued entry.
 
 Because an entry's (jaccard, n_intersections) depends only on its read
 pair — not on where the traversal tests it — the emitted edge set is a
-pure function of per-entry values:
+pure function of per-entry values over the FIRST-ENCOUNTER entry stream:
 
   pre-cap    every passing entry whose exclusive pass-count < T emits
              (this includes the T-th pass, the cap event — unique per
@@ -26,6 +26,28 @@ blocking device syncs + per-entry Python, the 425 s wall at 100k reads).
 Valuing every gated pair up front is batched device work; the replay is
 O(E) scans; the only host round trips are one emission-count fetch and
 one emission fetch per entry-set.
+
+Exactness domain (found by the differential oracle in
+tests/test_reference_oracle.py): the reference adds a pair to
+``seen_edges`` only when the walk actually REACHES its encounter
+(cluster.py:205-207) — an encounter skipped by the cap's ``break`` is
+not marked seen and the pair can be re-tested later, from a later
+interval of the same read or from the other read's traversal.  So:
+
+  * while NO query reaches the cap, every encounter is reached and the
+    first-encounter reduction is EXACT — the formulas above reproduce
+    the reference walk bit-for-bit;
+  * once a query caps, the closed form tests each pair at its first
+    encounter whereas the reference may re-test it where the skip left
+    it fresh.  stages/cluster.py detects capping on the host path
+    (:func:`pass_counts`) and falls back to an exact sequential replay
+    over the full multi-occurrence stream; the device and spill scale
+    paths keep the closed form (re-materializing the multi-billion-
+    encounter stream is the reference's own unscalable walk).  The
+    divergence touches only over-cap edges of already-heavily-connected
+    reads: the reference's observable artifacts (cluster/representative
+    beds, main.py:334-352) depend only on connected components, which
+    the differential oracle checks stay identical on capped frames.
 
 Two implementations share the formulas: :func:`replay` (numpy, used by
 the host enumeration path and the spill fallback) and the jitted
@@ -84,20 +106,17 @@ def replay(passv: np.ndarray, gated: np.ndarray, rc: np.ndarray,
     return (passv & ~capped) | (capped & ~in_cap_run & first_gated & passv)
 
 
-def value_and_replay_host(eq, ei, eo, bounds, dev_arrays, M, pct, cutoffs,
-                          edge_threshold, over, host_value):
-    """Value every entry (batched device Jaccard; exact host fallback for
-    reads whose interval lists exceed the kernel cap) and replay the
-    traversal in numpy.  Returns (idx, eo, j) in traversal order, with j
-    float64 (device values exactly upcast; over-cap pairs exact)."""
+def value_entries(eq, eo, dev_arrays, M, pct, over, host_value):
+    """(j64, n_i) for every (eq, eo) pair entry: batched device Jaccard,
+    exact host fallback for reads whose interval lists exceed the kernel
+    cap.  j is float64 (device float32 exactly upcast; over-cap exact)."""
     from fslr_tpu.ops import jaccard
 
     E = len(eq)
-    if E == 0:
-        z = np.zeros(0, np.int64)
-        return z, z, np.zeros(0, np.float64)
     j64 = np.zeros(E, np.float64)
     n_i = np.zeros(E, np.int64)
+    if E == 0:
+        return j64, n_i
     if len(over):
         ovm = np.isin(eq, over) | np.isin(eo, over)
     else:
@@ -114,9 +133,36 @@ def value_and_replay_host(eq, ei, eo, bounds, dev_arrays, M, pct, cutoffs,
         jh, nh = host_value(eq[rows], eo[rows])
         j64[rows] = jh
         n_i[rows] = nh
+    return j64, n_i
+
+
+def pass_flags(j64, n_i, cutoffs):
+    """(passv, gated) for valued entries (cluster.py:216-222 cutoff)."""
     cut = np.asarray(cutoffs, np.float64)
     gated = n_i != 0
     passv = gated & (j64 >= cut[np.clip(n_i - 1, 0, len(cut) - 1)])
+    return passv, gated
+
+
+def pass_counts(passv, bounds):
+    """Per-query pass counts; a count >= edge_threshold means the query
+    caps and the closed-form replay leaves its exactness domain."""
+    cum0 = np.concatenate([[0], np.cumsum(passv.astype(np.int64))])
+    return cum0[bounds[1:]] - cum0[bounds[:-1]]
+
+
+def value_and_replay_host(eq, ei, eo, bounds, dev_arrays, M, pct, cutoffs,
+                          edge_threshold, over, host_value):
+    """Value every entry (batched device Jaccard; exact host fallback for
+    reads whose interval lists exceed the kernel cap) and replay the
+    traversal in numpy.  Returns (idx, eo, j) in traversal order, with j
+    float64 (device values exactly upcast; over-cap pairs exact)."""
+    E = len(eq)
+    if E == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float64)
+    j64, n_i = value_entries(eq, eo, dev_arrays, M, pct, over, host_value)
+    passv, gated = pass_flags(j64, n_i, cutoffs)
     rc = np.ones(E, bool)
     rc[1:] = (eq[1:] != eq[:-1]) | (ei[1:] != ei[:-1])
     emit = replay(passv, gated, rc, eq, bounds, edge_threshold)
@@ -345,9 +391,11 @@ def resolve_device(buckets, bounds: np.ndarray, max_itv: int, max_nc: int,
             dev_arrays[5])
         done = []            # (emit_dev, count_dev, j_dev, eo_dev, base, NB, NBp)
         over_fix: dict[int, float] = {}     # global idx -> exact f64 j
+        from fslr_tpu import instrument
         for key_d, eo_d, base, nb in buckets:
             if nb == 0:
                 continue
+            instrument.add_cells(nb * M * M, 'jaccard')
             C = min(CHUNK, _pow2(nb, 256))
             k = -(-nb // C)
             NBp = k * C

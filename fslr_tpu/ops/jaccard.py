@@ -165,9 +165,13 @@ def jaccard_pairs_indexed(pairs, chrom, start, end, size, valid, lens,
     Returns (j, n_i) numpy arrays of length N.
     """
     import numpy as np
+
+    from fslr_tpu import instrument
     N = len(pairs)
     if N == 0:
         return np.zeros(0, np.float32), np.zeros(0, np.int32)
+    # greedy-Jaccard valuing is an MxM interval-match DP per pair
+    instrument.add_cells(N * M * M, 'jaccard')
     dev = upload_interval_arrays(chrom, start, end, size, valid, lens)
 
     js = np.zeros(N, np.float32)

@@ -307,6 +307,9 @@ def profile_align_walk(q, sp, g, qlens, scoring: ScoringConfig,
         packed, emits, score = _prof_walk_impl(
             jnp.asarray(q), jnp.asarray(sp, jnp.int32),
             jnp.asarray(g, jnp.float32), jnp.asarray(qlens, jnp.int32), **kw)
+    from fslr_tpu import instrument
+    instrument.add_cells(int(np.asarray(qlens, np.int64).sum())
+                         * int(np.shape(g)[-1]), 'profile')
     _, qend, lane, qstart, l_fin, cigars = tb.finalize_extend(packed, emits)
     return (np.asarray(score, np.float32), qend, lane, qstart, l_fin,
             cigars)

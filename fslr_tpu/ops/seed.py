@@ -164,10 +164,19 @@ def seed_candidates(reads, lens, counts, positions, *, k, stride,
         valid &= (occ > 0) & (occ <= occ_drop)                 # bwa -c analog
         use = jnp.minimum(occ, C)
 
-        # evenly sample occ_cap hits from each seed's occurrence list
+        # evenly sample occ_cap hits from each seed's occurrence list,
+        # with a per-kmer hash phase so tandem-repeat k-mers don't all
+        # sample the same C copies (which would give each sampled
+        # copy-diagonal the repeat's FULL seed density and starve
+        # distinct segments out of the candidate slots — see
+        # index/reference.packed_seed_table, which mirrors this)
+        step_o = jnp.maximum(occ // C, 1)
+        phase = ((code.astype(jnp.uint32) * jnp.uint32(2654435761))
+                 >> jnp.uint32(20)).astype(jnp.int32) % step_o
         take = start[:, :, None] + jnp.where(
             occ[:, :, None] > C,
-            (cidx[None, None, :] * occ[:, :, None]) // C,
+            (cidx[None, None, :] * occ[:, :, None]) // C
+            + phase[:, :, None],
             cidx[None, None, :])
         hit_valid = (valid[:, :, None]
                      & (cidx[None, None, :] < use[:, :, None]))
@@ -202,22 +211,75 @@ def seed_candidates(reads, lens, counts, positions, *, k, stride,
     # mask regardless.
     lo = _bucket_lo(diag_s, band_w)
     idx = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[None, :], (B, M))
-    dens = jnp.where(hv, idx - lo + 1, 0)
+    # A diagonal sitting near a bucket boundary has its hits split
+    # between two adjacent buckets, halving its bucketed density — on
+    # tandem-repeat references that let a true segment's diagonal lose
+    # every peel round to repeat-copy diagonals (found by
+    # tests/test_repetitive_recall.py).  Extend each element's density
+    # window to include the ADJACENT previous bucket's run (window
+    # spans up to 2*band_w, matching the kill zone): two gathers, still
+    # no per-element searchsorted.
+    # Gather-free: at each bucket-run START s, the previous run's start
+    # is lo[s-1] and its bucket is qd[s-1] — both plain shifts; forward-
+    # fill the chosen value through the run with one cummax (full-width
+    # take_along_axis gathers cost ~0.2 s each at this width on TPU and
+    # dominated the whole kernel).
+    qd_s = diag_s // band_w
+    qd_prev = jnp.pad(qd_s, ((0, 0), (1, 0)),
+                      constant_values=-(2 ** 31) + 1)[:, :M]
+    lo_shift = jnp.pad(lo, ((0, 0), (1, 0)))[:, :M]       # lo[j-1]
+    is_start = qd_s != qd_prev
+    start_plo = jnp.where(is_start & (qd_prev == qd_s - 1),
+                          lo_shift, idx)
+    plo = _cummax_log(jnp.where(is_start, start_plo, -1))
+    dens = jnp.where(hv, idx - plo + 1, 0)
     alive = hv
+    # Query-coverage budget: a tandem-repeat segment has occ-many equally
+    # dense copy-diagonals; without a budget they consume every candidate
+    # slot and starve segments elsewhere on the read (bwa has no slot cap
+    # at all — it extends every chain).  Once a hit's query position has
+    # been covered by TWO picks (one placement + one alternate, which is
+    # all selection and the MAPQ s2 term can use), it stops contributing
+    # density, so each query region costs at most 2 of the max_cand
+    # slots.  Pure (B, M) mask ops — no gathers.
+    covered = jnp.zeros_like(hv)
+    covered2 = jnp.zeros_like(hv)
     out = {n: [] for n in ('diag', 'count', 'qmin', 'qmax', 'rmin', 'rmax',
                            'valid')}
     for _ in range(max_cand):
         j = jnp.argmax(dens, axis=1)                           # (B,)
         d0 = jnp.take_along_axis(diag_s, j[:, None], axis=1)   # (B, 1)
-        sel = alive & (jnp.abs(diag_s - d0) <= band_w)
+        # Mode-centered selection: the argmax element only locates the
+        # winning density WINDOW (its extended [plo[j], j] run, up to 2
+        # buckets) — a symmetric +-band_w window around d0 alone can
+        # miss the dense run entirely when the argmax lands on a sparse
+        # element just past its bucket (whose extended density inherited
+        # the run), and the kill zone would then erase the run without
+        # ever selecting it.  So: take the counted run's mean diagonal,
+        # refine it once on the +-band_w neighborhood, and select around
+        # the refined mode.  All arithmetic on rel = diag - d0 keeps the
+        # sums in int32 range (diagonals reach 2^30; a 500-hit sum of
+        # raw diagonals would overflow).
+        ploj = jnp.take_along_axis(plo, j[:, None], axis=1)
+        dlo = jnp.take_along_axis(diag_s, ploj, axis=1)        # (B, 1)
+        rel = diag_s - d0
+        sel0 = alive & (diag_s >= dlo) & (diag_s <= d0)
+        n0 = jnp.maximum(jnp.sum(sel0, axis=1), 1)[:, None]
+        m1 = jnp.sum(jnp.where(sel0, rel, 0), axis=1)[:, None] // n0
+        half = max(band_w // 2, 16)
+        sel1 = alive & (jnp.abs(rel - m1) <= half)
+        n1 = jnp.maximum(jnp.sum(sel1, axis=1), 1)[:, None]
+        m2 = jnp.sum(jnp.where(sel1, rel, 0), axis=1)[:, None] // n1
+        sel = alive & (jnp.abs(rel - m2) <= band_w)
         cnt = jnp.sum(sel, axis=1)
         qmin = jnp.min(jnp.where(sel, hq, BIG), axis=1)
         qmax = jnp.max(jnp.where(sel, hq + k, -1), axis=1)
         rmin = jnp.min(jnp.where(sel, hr, BIG), axis=1)
         rmax = jnp.max(jnp.where(sel, hr + k, -1), axis=1)
         # median-ish anchor diagonal: mean of selected diagonals
-        dsum = jnp.sum(jnp.where(sel, diag_s, 0), axis=1)
-        danchor = jnp.where(cnt > 0, dsum // jnp.maximum(cnt, 1), 0)
+        dsum = jnp.sum(jnp.where(sel, rel, 0), axis=1)
+        danchor = jnp.where(cnt > 0,
+                            d0[:, 0] + dsum // jnp.maximum(cnt, 1), 0)
         out['diag'].append(danchor)
         out['count'].append(cnt)
         out['qmin'].append(qmin)
@@ -225,13 +287,21 @@ def seed_candidates(reads, lens, counts, positions, *, k, stride,
         out['rmin'].append(rmin)
         out['rmax'].append(rmax)
         out['valid'].append(cnt > 0)
-        kill = jnp.abs(diag_s - d0) <= 2 * band_w
-        a = jnp.sum(diag_s < d0 - 2 * band_w, axis=1)[:, None]
+        in_span = ((hq >= qmin[:, None]) & (hq + k <= qmax[:, None])
+                   & (cnt > 0)[:, None])
+        covered2 = covered2 | (covered & in_span)
+        covered = covered | in_span
+        # kill only the selected mode's +-band_w neighborhood plus a
+        # half-band margin: a distinct segment whose diagonals sit just
+        # past band_w must survive for its own peel round
+        kill = jnp.abs(rel - m2) <= band_w + band_w // 2
+        a = jnp.sum(rel < m2 - band_w - band_w // 2, axis=1)[:, None]
         b = a + jnp.sum(kill, axis=1)[:, None]
         overlap = jnp.clip(jnp.minimum(idx, b - 1)
-                           - jnp.maximum(lo, a) + 1, 0, None)
+                           - jnp.maximum(plo, a) + 1, 0, None)
         alive = alive & ~kill
         # floor at 1 for alive hits: each counts at least itself, so an
         # over-subtracted survivor still outranks every dead element
-        dens = jnp.where(alive, jnp.maximum(dens - overlap, 1), 0)
+        dens = jnp.where(alive & ~covered2,
+                         jnp.maximum(dens - overlap, 1), 0)
     return {n: jnp.stack(v, axis=1) for n, v in out.items()}

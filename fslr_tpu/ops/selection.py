@@ -116,6 +116,8 @@ def select_alignments(qstart, qend, score, valid, *, ol_cost=2,
         qend = jnp.pad(qend, pads)
         s_sel = jnp.pad(s_sel, pads, constant_values=-1e30)
         valid = jnp.pad(valid, pads)
+    from fslr_tpu import instrument
+    instrument.add_cells(B0 * C0 * C0, 'select')
     out = _select_impl(qstart, qend, s_sel, valid, float(ol_cost),
                        float(max_overlap))
     return out[:B0, :C0]

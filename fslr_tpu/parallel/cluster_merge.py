@@ -24,8 +24,16 @@ from fslr_tpu.parallel.mesh import READS_AXIS
 def initialize_distributed(coordinator: str | None = None,
                            num_processes: int | None = None,
                            process_id: int | None = None):
-    """jax.distributed.initialize wrapper; no-op single-host."""
+    """jax.distributed.initialize wrapper; no-op single-host.
+
+    Idempotent: an embedding application (or test runner) may have
+    bootstrapped jax.distributed itself before calling the pipeline —
+    jax raises on a second initialize once the backend is live."""
     if num_processes is None or num_processes <= 1:
+        return
+    from jax._src import distributed as _dist
+    state = getattr(_dist, 'global_state', None)
+    if state is not None and state.coordinator_address is not None:
         return
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,

@@ -524,6 +524,9 @@ def _seed_rows(cat: np.ndarray, off: np.ndarray, ref: Reference,
                     (counts_j, pos_j), statics=statics)
             # pack to ONE device array -> one host fetch per batch
             packed = jnp.stack([res[kk].astype(jnp.int32) for kk in _KEYS])
+            # hit construction + diagonal sort + max_cand peel rounds all
+            # scale with the (2 strands x batch x S x C) hit array
+            instrument.add_cells(2 * nb * S * occ_cap, 'seed')
             seed_pending.append((part, step, nb, packed))
 
     # ONE device->host transfer for all seed batches (the TPU tunnel has

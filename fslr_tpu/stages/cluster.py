@@ -413,10 +413,202 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         eq = ei = eo = np.zeros(0, np.int64)
 
     bounds = np.searchsorted(eq, np.arange(R + 1))
-    idx_e, eo_e, j_e = capwalk.value_and_replay_host(
-        eq, ei, eo, bounds, dev_arrays, M, overlap_cutoff,
-        list(jaccard_cutoffs), edge_threshold, over, host_value)
-    return _emit_outputs(idx_e, eo_e, j_e, bounds, qnames_order)
+    j64, n_i = capwalk.value_entries(eq, eo, dev_arrays, M,
+                                     overlap_cutoff, over, host_value)
+    passv, gated_e = capwalk.pass_flags(j64, n_i, list(jaccard_cutoffs))
+    if cfg.exact_cap_replay and len(eq) \
+            and (capwalk.pass_counts(passv, bounds)
+                 >= edge_threshold).any():
+        # some query reaches the soft edge cap: the first-encounter
+        # closed form leaves its exactness domain (a capped break leaves
+        # pairs un-seen for later re-testing, cluster.py:205-224 — see
+        # ops/capwalk.py docstring).  Replay the walk exactly over the
+        # full multi-occurrence stream, reusing the batch pair values.
+        pk_v = np.minimum(eq, eo) * R + np.maximum(eq, eo)
+        vord = np.argsort(pk_v)
+        eq_w, eo_w, j_w = _exact_capped_walk(
+            jobs, R, max_itv, max_nc, edge_threshold,
+            pk_v[vord], j64[vord], n_i[vord], passv[vord])
+        return _emit_from_pairs(eq_w, eo_w, j_w, qnames_order)
+    rc = np.ones(len(eq), bool)
+    rc[1:] = (eq[1:] != eq[:-1]) | (ei[1:] != ei[:-1])
+    emit = capwalk.replay(passv, gated_e, rc, eq, bounds, edge_threshold)
+    idx_e = np.flatnonzero(emit)
+    return _emit_outputs(idx_e, eo[idx_e], j64[idx_e], bounds,
+                         qnames_order)
+
+
+class _ConsumedSet:
+    """Grow-only int64 membership set with vectorized queries (sorted
+    base + small pending buffers, merged when the buffer fills)."""
+
+    def __init__(self):
+        self._sorted = np.empty(0, np.int64)
+        self._pending: list[np.ndarray] = []
+        self._npend = 0
+
+    def contains(self, x: np.ndarray) -> np.ndarray:
+        if len(self._sorted):
+            ix = np.searchsorted(self._sorted, x)
+            ix = np.minimum(ix, len(self._sorted) - 1)
+            out = self._sorted[ix] == x
+        else:
+            out = np.zeros(len(x), bool)
+        for p in self._pending:
+            out |= np.isin(x, p)
+        return out
+
+    def add(self, arr: np.ndarray):
+        if not len(arr):
+            return
+        self._pending.append(np.asarray(arr, np.int64))
+        self._npend += len(arr)
+        if self._npend > 65536 or len(self._pending) > 12:
+            self._sorted = np.unique(np.concatenate(
+                [self._sorted, *self._pending]))
+            self._pending = []
+            self._npend = 0
+
+
+def _first_occurrence_mask(pk: np.ndarray) -> np.ndarray:
+    """True at each value's first occurrence (positional order)."""
+    n = len(pk)
+    if n < 2:
+        return np.ones(n, bool)
+    o = np.argsort(pk, kind='stable')
+    ps = pk[o]
+    f = np.empty(n, bool)
+    f[0] = True
+    f[1:] = ps[1:] != ps[:-1]
+    out = np.empty(n, bool)
+    out[o] = f
+    return out
+
+
+def _exact_capped_walk(jobs, R, max_itv, max_nc, edge_threshold,
+                       pk_valued, j_valued, n_valued, pass_valued):
+    """Exact sequential replay of the reference traversal
+    (cluster.py:187-227) over the FULL multi-occurrence encounter
+    stream, used when some query reaches the soft edge cap.
+
+    The dynamic part of the reference walk is only ``seen_edges``
+    (which pairs each reached encounter consumes) and the per-query
+    edge counter; every pair's (jaccard, n_i, pass) is static and comes
+    precomputed from the batch valuing (pk_valued sorted).  Queries
+    whose fresh pass count stays under the cap are replayed in one
+    vectorized step; capped queries fall back to run-by-run vector ops
+    (runs = (read, interval) neighbor lists, reference's inner loops).
+
+    Returns (eq, eo, j) per emission in exact traversal order.
+    """
+    # ---- materialize the stream in traversal order -------------------
+    pks, tvs = [], []
+    for rid_arr, irk_arr, starts, ends, lo, counts, ccum in jobs:
+        nc = len(starts)
+        tot = int(ccum[-1])
+        if tot == 0:
+            continue
+        qx = np.repeat(np.arange(nc, dtype=np.int64), counts)
+        nx = (np.arange(tot, dtype=np.int64)
+              - np.repeat((ccum[:-1] - lo).astype(np.int64), counts))
+        keep = ends[nx] >= starts[qx]
+        qx, nx = qx[keep], nx[keep]
+        a, b = rid_arr[qx], rid_arr[nx]
+        ok = a != b
+        a, b, qx, nx = a[ok], b[ok], qx[ok], nx[ok]
+        if not len(a):
+            continue
+        pks.append(np.minimum(a, b) * R + np.maximum(a, b))
+        tvs.append((a * max_itv + irk_arr[qx]) * max_nc + nx)
+    if not pks:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float64)
+    pk = np.concatenate(pks)
+    tv = np.concatenate(tvs)
+    order = np.argsort(tv)              # tv unique: (read, rank, npos)
+    pk, tv = pk[order], tv[order]
+    E = len(pk)
+    eq = tv // (max_itv * max_nc)
+    run = tv // max_nc
+    p_lo, p_hi = pk // R, pk % R
+    oth = np.where(eq == p_lo, p_hi, p_lo)
+
+    # ---- static per-event flags from the batch pair values -----------
+    vix = np.searchsorted(pk_valued, pk)
+    vix_c = np.minimum(vix, max(len(pk_valued) - 1, 0))
+    hasv = ((vix < len(pk_valued)) & (pk_valued[vix_c] == pk)
+            if len(pk_valued) else np.zeros(E, bool))
+    gated = hasv & (n_valued[vix_c] > 0)      # reaches the break check
+    passf = hasv & pass_valued[vix_c]
+    jval = np.where(hasv, j_valued[vix_c], 0.0)
+
+    seg_bounds = np.searchsorted(eq, np.arange(R + 1))
+    cons = _ConsumedSet()
+    emit_pos: list[int] = []
+    T = int(edge_threshold)
+    for r in range(R):
+        s0, s1 = int(seg_bounds[r]), int(seg_bounds[r + 1])
+        if s0 == s1:
+            continue
+        pk_s = pk[s0:s1]
+        fresh = ~cons.contains(pk_s)
+        firsts = _first_occurrence_mask(pk_s)
+        freshf = fresh & firsts
+        p_all = passf[s0:s1] & freshf
+        if int(p_all.sum()) < T:
+            # no cap: every encounter is reached; first occurrences of
+            # unconsumed pairs are consumed, passing ones emit
+            cons.add(pk_s[freshf])
+            emit_pos.extend((s0 + np.flatnonzero(p_all)).tolist())
+            continue
+        # capped query: replay its runs sequentially
+        run_s = run[s0:s1]
+        rstarts = np.flatnonzero(
+            np.concatenate([[True], run_s[1:] != run_s[:-1]]))
+        rstops = np.concatenate([rstarts[1:], [s1 - s0]])
+        e = 0
+        local: set[int] = set()
+        seg_consumed: list[np.ndarray] = []
+        for a0, a1 in zip(rstarts, rstops):
+            a0, a1 = int(a0), int(a1)
+            pk_r = pk_s[a0:a1]
+            fr = fresh[a0:a1] & _first_occurrence_mask(pk_r)
+            if local:
+                fr = fr & ~np.isin(
+                    pk_r, np.fromiter(local, np.int64, len(local)))
+            if e < T:
+                pr = passf[s0 + a0:s0 + a1] & fr
+                tot_p = int(pr.sum())
+                if e + tot_p < T:
+                    consumed = pk_r[fr]
+                    emit_pos.extend(
+                        (s0 + a0 + np.flatnonzero(pr)).tolist())
+                    e += tot_p
+                else:
+                    cum = np.cumsum(pr)
+                    cappos = int(np.argmax(cum >= T - e))
+                    consumed = pk_r[:cappos + 1][fr[:cappos + 1]]
+                    emit_pos.extend(
+                        (s0 + a0
+                         + np.flatnonzero(pr[:cappos + 1])).tolist())
+                    e = T
+            else:
+                g = fr & gated[s0 + a0:s0 + a1]
+                if g.any():
+                    fv = int(np.argmax(g))
+                    consumed = pk_r[:fv + 1][fr[:fv + 1]]
+                    if passf[s0 + a0 + fv]:
+                        emit_pos.append(s0 + a0 + fv)
+                        e += 1
+                else:
+                    consumed = pk_r[fr]
+            if len(consumed):
+                local.update(consumed.tolist())
+                seg_consumed.append(consumed)
+        if seg_consumed:
+            cons.add(np.concatenate(seg_consumed))
+    pos = np.asarray(emit_pos, np.int64)
+    return eq[pos], oth[pos], jval[pos]
 
 
 def _emit_outputs(idx, eo_e, j_e, bounds, qnames_order):
@@ -424,6 +616,10 @@ def _emit_outputs(idx, eo_e, j_e, bounds, qnames_order):
     in exact traversal order (ascending global entry index; queries in
     first-seen order) — identical to the reference's sequential emit."""
     eq_e = np.searchsorted(bounds, idx, side='right') - 1
+    return _emit_from_pairs(eq_e, eo_e, j_e, qnames_order)
+
+
+def _emit_from_pairs(eq_e, eo_e, j_e, qnames_order):
     match = set()
     edges = []
     node_pos = {}

@@ -163,6 +163,10 @@ def filter_junk_records(reads, panel: PrimerPanel,
             seq, lens = _batch_rows(reads, part, step, L)
             mp, g = dispatch.dp_call(_mask_gate_packed, (seq, lens),
                                      statics=(cfg,))
+            # tantan HMM forward-backward: ~2 x P=100 period states per
+            # base (ops/tantan.py)
+            instrument.add_cells(2 * 100 * int(seq.shape[0])
+                                 * int(seq.shape[1]), 'hmm')
             mask_pending.append((part, L, mp, g))
     gate = np.zeros(n, dtype=bool)
     if mask_pending:

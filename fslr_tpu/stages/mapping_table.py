@@ -166,7 +166,11 @@ def mapping_table(aln: Alignments, qnames: list[str], seqs: list[str],
                  'seq': '', 'fslr_version': version,
                  'inferred_by_primer': 1}
             if regions:
-                d['overlaps_region'] = np.zeros(n, np.int64)
+                # the reference builds pseudo-rows WITHOUT the
+                # overlaps_region key (collect_mapping_info.py:124-158),
+                # so from_records leaves NaN and the whole column turns
+                # float64 ("1.0"/"" in the TSV) — replicated quirk
+                d['overlaps_region'] = np.full(n, np.nan)
             return pd.DataFrame(d)
 
         # concat order preserves the reference's tie order under the

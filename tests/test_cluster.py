@@ -213,7 +213,11 @@ def test_device_enumeration_matches_host():
     bed = _mixed_dataset()
     results = {}
     for tag, thresh in (('host', 1 << 62), ('device', 1)):
-        cfg = dc.replace(CFG, device_enum_min_encounters=thresh)
+        # exact_cap_replay off: these tests check the device
+        # ENUMERATION against the host's closed-form replay; capped
+        # exact-walk semantics are covered by test_reference_oracle
+        cfg = dc.replace(CFG, device_enum_min_encounters=thresh,
+                         exact_cap_replay=False)
         b, lens, mask, cmap = C.rename_chromosomes(bed, CHR_LEN, set())
         fill = C.keep_fillings(b)
         data = C.prepare_data(fill, set(), lens)
@@ -261,7 +265,8 @@ def test_device_enumeration_random_soup_small_slices():
     bed = _bed(reads)
 
     results = {}
-    for tag, kw in (('host', dict(device_enum_min_encounters=1 << 62)),
+    for tag, kw in (('host', dict(device_enum_min_encounters=1 << 62,
+                                  exact_cap_replay=False)),
                     ('device', dict(device_enum_min_encounters=1,
                                     enum_slice_cap=4096,
                                     enum_merge_cap=8192))):
@@ -349,7 +354,8 @@ def test_scale_enumeration_matches_host(scale_path, monkeypatch):
     bed = _bed(reads)
 
     results = {}
-    for tag, kw in (('host', dict(device_enum_min_encounters=1 << 62)),
+    for tag, kw in (('host', dict(device_enum_min_encounters=1 << 62,
+                                  exact_cap_replay=False)),
                     ('scale', dict(device_enum_min_encounters=1,
                                    enum_spill_min_encounters=1,
                                    enum_slice_cap=4096)),
