@@ -163,6 +163,178 @@ def encode_item(r: BamRecord) -> tuple[int, int, int, bytes]:
             encode_record(r))
 
 
+def _ragged(starts, lens):
+    """(flat destination indices, row-of-element, intra-row rank) for
+    per-row [starts[i], starts[i]+lens[i]) spans."""
+    lens = np.asarray(lens, np.int64)
+    tot = int(lens.sum())
+    row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    base = np.concatenate([[0], np.cumsum(lens[:-1])])
+    intra = np.arange(tot, dtype=np.int64) - np.repeat(base, lens)
+    return np.repeat(np.asarray(starts, np.int64), lens) + intra, row, intra
+
+
+def _reg2bin_vec(beg, end):
+    e = np.asarray(end, np.int64) - 1
+    b = np.asarray(beg, np.int64)
+    out = np.zeros(len(b), np.int64)
+    done = np.zeros(len(b), bool)
+    for shift, base in ((14, (1 << 15) - 1), (17, (1 << 12) - 1),
+                        (20, (1 << 9) - 1), (23, (1 << 6) - 1),
+                        (26, (1 << 3) - 1)):
+        hit = ~done & ((b >> shift) == (e >> shift))
+        out[hit] = base // 7 + (b[hit] >> shift)
+        done |= hit
+    return out
+
+
+# BAM seq nibbles for codes 0-4 (A C G T N)
+_NIB = np.array([1, 2, 4, 8, 15], np.uint8)
+
+_BAM_HDR_DT = np.dtype([
+    ('bs', '<i4'), ('rid', '<i4'), ('pos', '<i4'), ('lrn', 'u1'),
+    ('mapq', 'u1'), ('bin', '<u2'), ('ncig', '<u2'), ('flag', '<u2'),
+    ('lseq', '<i4'), ('nrid', '<i4'), ('npos', '<i4'), ('tlen', '<i4')])
+
+
+def encode_chunk_items(aln, lo, names_buf, name_off, codes, seq_off,
+                       quals_buf, qual_off):
+    """Vectorized BAM payload assembly for one align chunk — byte-
+    identical to per-record :func:`encode_record` (tested), built with
+    columnar scatters instead of a Python loop per record (the loop was
+    ~80 s of the 1M-read run).
+
+    Args:
+      aln: stages.align.Alignments with ``cig_rle`` set — the columnar
+        exact-CIGAR form (has, cnt, flat_len, flat_op) in alignment
+        order; rows with has=False are handled by the caller's fallback.
+      lo: chunk's base read index into the fa arrays.
+      names_buf/name_off, codes/seq_off, quals_buf/qual_off: the
+        FastxArrays columnar buffers.
+    Returns (buf, off, plen, rid, pos, ref_end): one payload buffer plus
+    per-record slices, alignment order.
+    """
+    N = len(aln)
+    has, cnt_core, flat_len, flat_op = aln.cig_rle
+    assert bool(np.all(has)), 'caller must route no-emit rows to fallback'
+    rg = np.asarray(lo + aln.read_idx, np.int64)
+    pri = np.asarray(aln.is_primary, bool)
+    rev = np.asarray(aln.strand_rev, bool)
+    qlen = np.asarray(aln.qlen, np.int64)
+    qs = np.asarray(aln.qstart_o, np.int64)
+    qe = np.asarray(aln.qend_o, np.int64)
+    pos = np.asarray(aln.rstart, np.int64)
+    cnt_core = np.asarray(cnt_core, np.int64)
+    flat_len = np.asarray(flat_len, np.int64)
+    flat_op = np.asarray(flat_op, np.int64)
+
+    # reference span from the CIGAR (M/D consume reference; op codes
+    # 0/1/2 = M/I/D), matching encode_record's reference_span()
+    core_row = np.repeat(np.arange(N, dtype=np.int64), cnt_core)
+    span = np.zeros(N, np.int64)
+    np.add.at(span, core_row, np.where(flat_op != 1, flat_len, 0))
+    ref_end = pos + np.maximum(span, 1)
+
+    nlen = (name_off[rg + 1] - name_off[rg]).astype(np.int64)
+    pre = (qs > 0).astype(np.int64)
+    post = (qlen - qe > 0).astype(np.int64)
+    ncig = cnt_core + pre + post
+    l_seq = np.where(pri, qlen, 0)
+    sqb = (l_seq + 1) // 2
+    body = 32 + (nlen + 1) + 4 * ncig + sqb + l_seq + 7
+    plen = 4 + body
+    off = np.concatenate([[0], np.cumsum(plen)])
+    total = int(off[-1])
+    off = off[:-1]
+    buf = np.zeros(total, np.uint8)
+
+    # ---- fixed 36-byte header (block_size + 32-byte core) -------------
+    hdr = np.zeros(N, _BAM_HDR_DT)
+    hdr['bs'] = body
+    hdr['rid'] = np.asarray(aln.chrom_idx, np.int64)
+    hdr['pos'] = pos
+    hdr['lrn'] = nlen + 1
+    hdr['mapq'] = np.asarray(aln.mapq, np.int64)
+    hdr['bin'] = _reg2bin_vec(np.maximum(pos, 0), np.maximum(ref_end, 1))
+    hdr['ncig'] = ncig
+    hdr['flag'] = (np.where(rev, 16, 0) | np.where(pri, 0, 2048))
+    hdr['lseq'] = l_seq
+    hdr['nrid'] = -1
+    hdr['npos'] = -1
+    hdr['tlen'] = 0
+    buf[off[:, None] + np.arange(36)] = hdr.view(np.uint8).reshape(N, 36)
+
+    # ---- qname + NUL (buffer pre-zeroed) ------------------------------
+    dst, row, intra = _ragged(off + 36, nlen)
+    buf[dst] = np.frombuffer(names_buf, np.uint8)[
+        np.repeat(name_off[rg].astype(np.int64), nlen) + intra]
+
+    # ---- cigar: [pre clip] core ops [post clip] -----------------------
+    cig_start = off + 36 + nlen + 1
+    cig0 = np.concatenate([[0], np.cumsum(ncig)[:-1]])
+    T = int(ncig.sum())
+    cig = np.zeros(T, '<u4')
+    clip_code = np.where(pri, 4, 5).astype(np.int64)      # S / H
+    prer = np.flatnonzero(pre)
+    cig[cig0[prer]] = (qs[prer] << 4) | clip_code[prer]
+    core0 = np.concatenate([[0], np.cumsum(cnt_core)[:-1]])
+    intra_core = np.arange(len(flat_op), dtype=np.int64) \
+        - np.repeat(core0, cnt_core)
+    cig[cig0[core_row] + pre[core_row] + intra_core] = \
+        (flat_len << 4) | flat_op
+    postr = np.flatnonzero(post)
+    cig[cig0[postr] + pre[postr] + cnt_core[postr]] = \
+        ((qlen - qe)[postr] << 4) | clip_code[postr]
+    cbytes = cig.view(np.uint8).reshape(T, 4)
+    op_base = np.repeat(cig_start, ncig) \
+        + 4 * (np.arange(T, dtype=np.int64) - np.repeat(cig0, ncig))
+    buf[op_base[:, None] + np.arange(4)] = cbytes
+
+    # ---- seq nibbles + qual (primaries only) --------------------------
+    seq_start = cig_start + 4 * ncig
+    prim = np.flatnonzero(pri)
+    if len(prim):
+        rp = rg[prim]
+        lp = qlen[prim]
+        revp = rev[prim]
+        _, prow, pintra = _ragged(np.zeros(len(prim)), lp)
+        fwd_idx = seq_off[rp].astype(np.int64)[prow] + pintra
+        rev_idx = seq_off[rp + 1].astype(np.int64)[prow] - 1 - pintra
+        src = codes[np.where(revp[prow], rev_idx, fwd_idx)].astype(
+            np.int64)
+        src = np.where(revp[prow] & (src < 4), 3 - src, src)
+        nib = _NIB[np.minimum(src, 4)]
+        bytep = seq_start[prim][prow] + pintra // 2
+        evn = pintra % 2 == 0
+        buf[bytep[evn]] = nib[evn] << 4
+        odd = ~evn
+        buf[bytep[odd]] = buf[bytep[odd]] | nib[odd]
+
+        qual_start = seq_start + sqb
+        qdst = qual_start[prim][prow] + pintra
+        if len(quals_buf):
+            qsrc = np.frombuffer(quals_buf, np.uint8)[
+                np.where(revp[prow],
+                         qual_off[rp + 1].astype(np.int64)[prow] - 1
+                         - pintra,
+                         qual_off[rp].astype(np.int64)[prow] + pintra)]
+            buf[qdst] = np.clip(qsrc.astype(np.int16) - 33, 0,
+                                93).astype(np.uint8)
+        else:
+            buf[qdst] = 255
+
+    # ---- AS:i tag -----------------------------------------------------
+    tag_start = seq_start + sqb + l_seq
+    tbytes = np.zeros(N, np.dtype([('t', 'S3'), ('v', '<i4')]))
+    tbytes['t'] = b'ASi'
+    tbytes['v'] = np.asarray(aln.score, np.int64)
+    buf[tag_start[:, None] + np.arange(7)] = \
+        tbytes.view(np.uint8).reshape(N, 7)
+
+    return (buf, off, plen, np.asarray(aln.chrom_idx, np.int64), pos,
+            ref_end)
+
+
 def write_bam(path: str, names: list[str], lengths, records,
               sort_by_coord: bool = True, write_index: bool = False):
     """Write a coordinate-sorted BAM; with ``write_index``, also emit the

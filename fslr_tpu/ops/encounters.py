@@ -468,6 +468,22 @@ def build_entries(jobs: list[ChromJob], R: int, max_itv: int, max_nc: int,
                 return _build_entries_spill(jobs, R, max_itv, max_nc,
                                             qlen2, naln, qlen_thresh,
                                             naln_thresh, slice_cap)
+            except Exception as e:
+                # HBM exhaustion mid-build (e.g. other stages' cached
+                # device arrays shrank the headroom): free the partial
+                # build and retry on the host-spill path rather than
+                # dying — parity with the reference's "never OOMs, just
+                # slows down" behavior on big inputs
+                if 'RESOURCE_EXHAUSTED' not in str(e):
+                    raise
+                import gc
+                import sys
+                print('WARNING: sharded encounter build exhausted HBM; '
+                      'falling back to host-spill path', file=sys.stderr)
+                gc.collect()
+                return _build_entries_spill(jobs, R, max_itv, max_nc,
+                                            qlen2, naln, qlen_thresh,
+                                            naln_thresh, slice_cap)
         return _build_entries_x64(jobs, R, max_itv, max_nc, qlen2, naln,
                                   qlen_thresh, naln_thresh, slice_cap,
                                   merge_cap)

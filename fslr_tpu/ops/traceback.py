@@ -513,28 +513,37 @@ def finalize_scores(packed):
     return p[0], p[1], p[2], p[3], p[4]
 
 
-def decode_emit_rows(blocks: np.ndarray) -> list[list[tuple[int, str]]]:
-    """CIGARs of a whole (n, t4) block of 2-bit-packed emit rows in one
-    vectorized pass (per-row decode_emit_row calls cost ~0.5 s per 30k
-    selected alignments)."""
+def decode_emit_rle(blocks: np.ndarray):
+    """Columnar RLE of a (n, t4) block of 2-bit-packed emit rows:
+    (seg_row, seg_len, seg_op) numpy arrays in row order, op codes
+    0/1/2 = M/I/D (BAM op numbering).  One vectorized pass; the
+    list-of-tuples form (:func:`decode_emit_rows`) is derived from it
+    only where Python lists are actually consumed."""
     n = len(blocks)
     e = ((blocks[:, :, None] >> np.array([0, 2, 4, 6], np.uint8)) & 3)
     e = e.reshape(n, -1)[:, ::-1]          # emitted end->start: reverse
     rowv, colv = np.nonzero(e != 3)
-    out: list[list] = [[] for _ in range(n)]
     if not len(rowv):
-        return out
+        z = np.zeros(0, np.int64)
+        return z, z, z
     vals = e[rowv, colv]
     brk = np.flatnonzero((vals[1:] != vals[:-1])
                          | (rowv[1:] != rowv[:-1]))
     starts = np.concatenate([[0], brk + 1])
     ends = np.concatenate([brk + 1, [len(vals)]])
-    seg_rows = rowv[starts]
-    seg_ops = vals[starts]
-    seg_len = ends - starts
+    return (rowv[starts].astype(np.int64), (ends - starts),
+            vals[starts].astype(np.int64))
+
+
+def decode_emit_rows(blocks: np.ndarray) -> list[list[tuple[int, str]]]:
+    """CIGARs of a whole (n, t4) block of 2-bit-packed emit rows in one
+    vectorized pass (per-row decode_emit_row calls cost ~0.5 s per 30k
+    selected alignments)."""
+    out: list[list] = [[] for _ in range(len(blocks))]
+    seg_rows, seg_len, seg_ops = decode_emit_rle(blocks)
     for r, ln, op in zip(seg_rows.tolist(), seg_len.tolist(),
                          seg_ops.tolist()):
-        out[r].append((ln, _OP_CHARS[op]))
+        out[r].append((int(ln), _OP_CHARS[op]))
     return out
 
 

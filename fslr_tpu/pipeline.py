@@ -255,6 +255,50 @@ def _run_pipeline_multihost(config: PipelineConfig,
         _run_pipeline(final_cfg, backend)
 
 
+def _encode_chunk_fallback(aln, qnames, seqs, fa, off, config, bam_items):
+    """Per-record BAM encoding (byte-identical to the columnar fast
+    path): used when exact CIGAR streams are absent for some alignment
+    (emit-buffer overflow rows) or exact_cigars is off."""
+    from fslr_tpu.encode import revcomp_str
+    quals = fa.qual_strs(off, off + len(qnames))
+    cigars = aln.cigar_lists() if config.exact_cigars else None
+    for i in range(len(aln)):
+        ridx = int(aln.read_idx[i])
+        pri = bool(aln.is_primary[i])
+        rev = bool(aln.strand_rev[i])
+        flag = (16 if rev else 0) | (0 if pri else 2048)
+        rspan = int(aln.rend[i]) - int(aln.rstart[i]) + 1
+        core = cigars[i] if cigars is not None else None
+        if core is not None:
+            clip = 'S' if pri else 'H'
+            cig = []
+            if int(aln.qstart_o[i]) > 0:
+                cig.append((int(aln.qstart_o[i]), clip))
+            cig += core
+            tail = int(aln.qlen[i]) - int(aln.qend_o[i])
+            if tail > 0:
+                cig.append((tail, clip))
+        else:
+            cig = bamio.approx_cigar(int(aln.qstart_o[i]),
+                                     int(aln.qend_o[i]),
+                                     int(aln.qlen[i]), rspan,
+                                     hard_clips=not pri)
+        seq = ''
+        qual = None
+        if pri:
+            seq = seqs[ridx]
+            qual = quals[ridx]
+            if rev:
+                seq = revcomp_str(seq)
+                qual = qual[::-1] if qual else None
+        bam_items.append(bamio.encode_item(bamio.BamRecord(
+            qname=qnames[ridx], flag=flag,
+            ref_id=int(aln.chrom_idx[i]),
+            pos=int(aln.rstart[i]),
+            mapq=int(aln.mapq[i]), cigar=cig, seq=seq,
+            qual=qual, tags={'AS': int(aln.score[i])})))
+
+
 def _run_pipeline(config: PipelineConfig, backend: str | None = None,
                   file_shard: tuple[int, int] | None = None):
     basename = os.path.join(config.out, config.name)
@@ -389,7 +433,6 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None,
                 with timer.stage('read_labelled'):
                     qnames = fa.name_strs(off, hi)
                     seqs = fa.seq_strs(off, hi)
-                    quals = fa.qual_strs(off, hi)
                 with timer.stage('align'):
                     aln = align_stage.align_batch(
                         seqs, ref, sidx, config,
@@ -397,45 +440,26 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None,
                         masked=masked, codes=fa.codes_slice(off, hi))
                 # BAM records (replaces bwa|dodi|samtools); exact CIGARs
                 # come from the extension traceback walk
-                cigars = aln.cigars if (config.exact_cigars
-                                        and aln.cigars is not None) else None
                 t_rec = timer.stage('bam_records')
                 t_rec.__enter__()
-                for i in range(len(aln)):
-                    ridx = int(aln.read_idx[i])
-                    pri = bool(aln.is_primary[i])
-                    rev = bool(aln.strand_rev[i])
-                    flag = (16 if rev else 0) | (0 if pri else 2048)
-                    rspan = int(aln.rend[i]) - int(aln.rstart[i]) + 1
-                    core = cigars[i] if cigars is not None else None
-                    if core is not None:
-                        clip = 'S' if pri else 'H'
-                        cig = []
-                        if int(aln.qstart_o[i]) > 0:
-                            cig.append((int(aln.qstart_o[i]), clip))
-                        cig += core
-                        tail = int(aln.qlen[i]) - int(aln.qend_o[i])
-                        if tail > 0:
-                            cig.append((tail, clip))
-                    else:
-                        cig = bamio.approx_cigar(int(aln.qstart_o[i]),
-                                                 int(aln.qend_o[i]),
-                                                 int(aln.qlen[i]), rspan,
-                                                 hard_clips=not pri)
-                    seq = ''
-                    qual = None
-                    if pri:
-                        seq = seqs[ridx]
-                        qual = quals[ridx]
-                        if rev:
-                            seq = revcomp_str(seq)
-                            qual = qual[::-1] if qual else None
-                    bam_items.append(bamio.encode_item(bamio.BamRecord(
-                        qname=qnames[ridx], flag=flag,
-                        ref_id=int(aln.chrom_idx[i]),
-                        pos=int(aln.rstart[i]),
-                        mapq=int(aln.mapq[i]), cigar=cig, seq=seq,
-                        qual=qual, tags={'AS': int(aln.score[i])})))
+                rle = aln.cig_rle if config.exact_cigars else None
+                if rle is not None and len(aln) and bool(np.all(rle[0])):
+                    # columnar fast path: one vectorized payload buffer
+                    # per chunk (the per-record Python loop was ~80 s of
+                    # the 1M-read run)
+                    buf, ofs, plens, rids, poss, rends = \
+                        bamio.encode_chunk_items(
+                            aln, off, fa._names, fa.name_off, fa.codes,
+                            fa.seq_off, fa._quals, fa.qual_off)
+                    mv = memoryview(buf)
+                    bam_items.extend(
+                        (r, p, e, mv[o:o + ln])
+                        for r, p, e, o, ln in zip(
+                            rids.tolist(), poss.tolist(), rends.tolist(),
+                            ofs.tolist(), plens.tolist()))
+                else:
+                    _encode_chunk_fallback(aln, qnames, seqs, fa, off,
+                                           config, bam_items)
                 t_rec.__exit__(None, None, None)
                 with timer.stage('mapping_table'):
                     dfs.append(mapping_table.mapping_table(
@@ -478,6 +502,20 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None,
             fc.write('Filter counts:' + '\n')
             fc.write(','.join(str(k) for k in filter_counts.keys()) + '\n')
             fc.write(','.join(str(v) for v in filter_counts.values()) + '\n')
+
+        # release align-stage device residents (genome, k-mer index,
+        # packed seed table — 300+ MB) before the clustering build: the
+        # sharded encounter build sizes itself against HBM and the
+        # 1M-read run OOM'd with these still held
+        sidxs = [sidx] + ([masked[1]] if masked is not None else [])
+        for s in sidxs:
+            for sh in (s.shards or []):
+                sh.sidx._dev = (None, None)
+                sh.sidx._dev_tab = (None, None, -1)
+            s._dev = (None, None)
+            s._dev_tab = (None, None, -1)
+        import gc
+        gc.collect()
 
     if not config.skip_clustering:
         print('Making clusters')

@@ -62,9 +62,31 @@ class Alignments:
     is_primary: np.ndarray    # bool
     overlaps_region: np.ndarray  # bool (all False when no --regions)
     cigars: list | None = None   # per-alignment core CIGAR ops (M/I/D)
+    # columnar exact-CIGAR RLE (has, cnt, flat_len, flat_op), op codes
+    # 0/1/2 = M/I/D — the form the vectorized BAM encoder consumes
+    # (io/bam.encode_chunk_items); cigars lists are derived lazily
+    cig_rle: tuple | None = None
 
     def __len__(self):
         return len(self.read_idx)
+
+    def cigar_lists(self):
+        """Per-alignment [(len, op_char), ...] lists (None where no emit
+        stream exists), derived from cig_rle when not already present."""
+        if self.cigars is not None:
+            return self.cigars
+        if self.cig_rle is None:
+            return None
+        has, cnt, flat_len, flat_op = self.cig_rle
+        out = [None] * len(self)
+        ends = np.cumsum(cnt)
+        starts = ends - cnt
+        ll = flat_len.tolist()
+        oo = flat_op.tolist()
+        for i in np.flatnonzero(has):
+            out[i] = [(ll[t], 'MID'[oo[t]])
+                      for t in range(starts[i], ends[i])]
+        return out
 
 
 _SLICE_BUCKETS = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096,
@@ -781,7 +803,7 @@ def _select_and_finalize(ca: CandAln, ref: Reference,
     sel_mask[val] = chosen[bb, cc]
     sel_idx = np.flatnonzero(sel_mask)
     n_sel = len(sel_idx)
-    cigars = _fetch_selected_emits(ca, sel_idx)
+    cig_rle = _fetch_selected_emits(ca, sel_idx)
 
     out = Alignments(
         read_idx=ca.read_idx[sel_idx].astype(np.int32),
@@ -796,7 +818,7 @@ def _select_and_finalize(ca: CandAln, ref: Reference,
         mapq=np.zeros(n_sel, np.int32),
         is_primary=np.zeros(n_sel, bool),
         overlaps_region=ov_any[sel_idx],
-        cigars=cigars,
+        cig_rle=cig_rle,
     )
     # primary = first max-score alignment per read (argmax tie semantics):
     # stable grouped sort instead of a per-read boolean mask (that scan is
@@ -889,20 +911,26 @@ def _fetch_selected_emits(ca: CandAln, sel_idx: np.ndarray):
     """Decode CIGARs for selected alignments only: device-gather their
     rows from the (still device-resident) 2-bit emit buffers and fetch
     everything in ONE transfer — unselected candidates' emit streams never
-    cross the TPU link.  Returns a per-selected list of CIGAR op lists
-    (None where no emit stream exists)."""
+    cross the TPU link.  Returns the COLUMNAR RLE form
+    (has, cnt, flat_len, flat_op) in selected order — op codes 0/1/2 =
+    M/I/D, has=False where no emit stream exists (fallback rows).  The
+    per-record Python op lists this used to build were ~25 s of the
+    1M-read run; list consumers derive them via Alignments.cigar_lists."""
     from fslr_tpu.ops import traceback as tbmod
-    cigars: list = [None] * len(sel_idx)
-    if not len(sel_idx) or not ca.emit_bufs:
-        return cigars
+    n = len(sel_idx)
+    has = np.zeros(n, bool)
+    cnt = np.zeros(n, np.int64)
+    empty = (has, cnt, np.zeros(0, np.int64), np.zeros(0, np.int64))
+    if not n or not ca.emit_bufs:
+        return empty
     bufs = ca.emit_buf[sel_idx]
     rows = ca.emit_row[sel_idx]
     need = np.flatnonzero(bufs >= 0)
     if not len(need):
-        return cigars
+        return empty
     import jax.numpy as jnp
     flats = []
-    groups = []          # (positions into cigars, row width)
+    groups = []          # (positions into the selected order, row width)
     for bid in np.unique(bufs[need]):
         g = need[bufs[need] == bid]
         dev = ca.emit_bufs[bid]
@@ -912,12 +940,24 @@ def _fetch_selected_emits(ca: CandAln, sel_idx: np.ndarray):
     flat = np.asarray(jnp.concatenate(flats) if len(flats) > 1
                       else flats[0])
     o = 0
+    seg_rows_l, seg_len_l, seg_op_l = [], [], []
     for g, t4 in groups:
         block = flat[o:o + len(g) * t4].reshape(len(g), t4)
         o += len(g) * t4
-        for p, cig in zip(g, tbmod.decode_emit_rows(block)):
-            cigars[p] = cig
-    return cigars
+        sr, sl, so = tbmod.decode_emit_rle(block)
+        seg_rows_l.append(g[sr])             # -> selected order
+        seg_len_l.append(sl)
+        seg_op_l.append(so)
+        has[g] = True
+    seg_rows = np.concatenate(seg_rows_l)
+    seg_len = np.concatenate(seg_len_l).astype(np.int64)
+    seg_op = np.concatenate(seg_op_l)
+    # group-concat leaves rows unordered ACROSS groups; a stable sort by
+    # row restores selected order while keeping within-row op order
+    ordr = np.argsort(seg_rows, kind='stable')
+    seg_rows = seg_rows[ordr]
+    np.add.at(cnt, seg_rows, 1)
+    return has, cnt, seg_len[ordr], seg_op[ordr]
 
 
 

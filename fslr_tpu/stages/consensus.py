@@ -188,12 +188,13 @@ def run_consensus_stage(subgraphs, bed_file: pd.DataFrame, ref, sidx,
                                   backend=backend)
     records = []
     from fslr_tpu.encode import revcomp_str
+    cig_lists = aln.cigar_lists()
     for i in range(len(aln)):
         ridx = int(aln.read_idx[i])
         pri = bool(aln.is_primary[i])
         rev = bool(aln.strand_rev[i])
         rspan = int(aln.rend[i]) - int(aln.rstart[i]) + 1
-        core = aln.cigars[i] if aln.cigars else None
+        core = cig_lists[i] if cig_lists else None
         if core is not None:
             clip = 'S' if pri else 'H'
             cig = []

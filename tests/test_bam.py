@@ -179,3 +179,59 @@ def test_stream_raw_records_roundtrip(tmp_path):
     pl0 = rows[0][0]
     patched = bamio.patch_ref_id(pl0, 1)
     assert bamio._decode_record(patched[4:], 0, len(patched) - 4).ref_id == 1
+
+
+def test_encode_chunk_items_byte_identical(tmp_path):
+    """The vectorized chunk encoder (io/bam.encode_chunk_items) must be
+    byte-identical to the per-record fallback on real aligner output
+    (both strands, clips, primaries with reversed seq/qual, AS tags)."""
+    import numpy as np
+
+    from fslr_tpu.config import PipelineConfig
+    from fslr_tpu.encode import decode, revcomp_str
+    from fslr_tpu.index.reference import Reference, build_seed_index
+    from fslr_tpu.io import bam as bamio
+    from fslr_tpu.io.fastq import read_reads
+    from fslr_tpu.pipeline import _encode_chunk_fallback
+    from fslr_tpu.stages import align as align_stage
+    from tests.oracles import mutate, random_seq
+
+    cfg = PipelineConfig()
+    rng = np.random.default_rng(4242)
+    chrA = random_seq(rng, 120_000)
+    ref = Reference(names=['chrA'], lengths=np.array([120_000]),
+                    offsets=np.array([0, 120_000]), codes=chrA)
+    sidx = build_seed_index(ref, k=cfg.align.seed_k)
+
+    fq = tmp_path / 'r.fastq'
+    with open(fq, 'w') as fh:
+        for i in range(12):
+            a = int(rng.integers(0, 50_000))
+            b = int(rng.integers(60_000, 110_000))
+            seg1 = mutate(rng, chrA[a:a + 800], sub=0.02, indel=0.01)
+            seg2 = mutate(rng, chrA[b:b + 700], sub=0.02, indel=0.01)
+            s = decode(np.concatenate([seg1, seg2]))
+            if i % 3 == 0:
+                s = revcomp_str(s)
+            q = ''.join(chr(33 + int(x))
+                        for x in rng.integers(0, 60, len(s)))
+            fh.write(f'@read{i} extra\n{s}\n+\n{q}\n')
+    fa = read_reads(str(fq))
+    seqs = fa.seq_strs(0, fa.n)
+    qnames = fa.name_strs(0, fa.n)
+    aln = align_stage.align_batch(seqs, ref, sidx, cfg, backend='jax')
+    assert len(aln) >= 20
+    assert aln.cig_rle is not None and bool(np.all(aln.cig_rle[0]))
+
+    buf, ofs, plens, rids, poss, rends = bamio.encode_chunk_items(
+        aln, 0, fa._names, fa.name_off, fa.codes, fa.seq_off,
+        fa._quals, fa.qual_off)
+    fast = [(int(r), int(p), int(e), bytes(buf[o:o + ln]))
+            for r, p, e, o, ln in zip(rids, poss, rends, ofs, plens)]
+
+    slow: list = []
+    _encode_chunk_fallback(aln, qnames, seqs, fa, 0, cfg, slow)
+    assert len(fast) == len(slow)
+    for i, (f, s) in enumerate(zip(fast, slow)):
+        assert f[:3] == s[:3], i
+        assert f[3] == s[3], f'payload differs at record {i}'
