@@ -160,7 +160,112 @@ def run_scale(n_reads, n_groups):
     }))
 
 
+def run_cluster_scale(n_reads, group=700, verify_groups=5):
+    """Config-5's clustering stage at its design point, standalone.
+
+    The full 10M-read pipeline is dominated by linearly-scaling stages
+    whose per-read cost is measured at 1M (filter/align/primers); the
+    genuinely new regime at 10M is the BREAKPOINT CLUSTERING: ~n*group/2
+    unique pairs (~3.4B at 10M reads, groups of 700), which exceeds the
+    sharded in-HBM build and lands on the host-spill path
+    (ops/encounters.py).  This mode synthesizes the post-keep_fillings
+    interval data directly (1 interior interval per read, the shape the
+    pipeline produces for the bench amplicons) and runs query_graph +
+    components end to end.
+
+    Verification: breakpoint groups are coordinate-disjoint, so a
+    group's replay depends only on its own entries — the edge set of
+    ``verify_groups`` groups (spread across the pair-key space, hence
+    across spill buckets) is recomputed standalone on the exact host
+    path and must match the at-scale device/spill output.
+    """
+    import numpy as np
+
+    from fslr_tpu.config import ClusterConfig
+    from fslr_tpu.stages import cluster as C
+
+    n_groups = max(1, n_reads // group)
+    rng = np.random.default_rng(7)
+    print(json.dumps({'cluster_scale': n_reads, 'groups': n_groups,
+                      'group_size': group,
+                      'est_pairs': n_groups * group * (group - 1) // 2}),
+          file=sys.stderr)
+
+    t0 = time.time()
+    # one interior interval per read; groups 5 kb apart, +-40 bp jitter
+    gid = np.repeat(np.arange(n_groups, dtype=np.int64), group)
+    gid = gid[:n_reads]
+    base = 100_000 + gid * 5_000
+    start = base + rng.integers(-40, 41, len(gid))
+    end = start + 1_000 + rng.integers(-40, 41, len(gid))
+    qlen2 = np.full(len(gid), 1_000, np.int64)
+    naln = np.full(len(gid), 3, np.int64)
+    data = [C.IntervalItem(1, int(s), int(e), float(e - s), r, 3,
+                           1_000, int((e - s) // 2 + s), r)
+            for r, (s, e) in enumerate(zip(start, end))]
+    del qlen2, naln
+    # prepare_data sorts by start; replicate so traversal order matches
+    data.sort(key=lambda it: it.start)
+    build_s = time.time() - t0
+    print(json.dumps({'data_build_s': round(build_s, 1)}),
+          file=sys.stderr)
+
+    cfg = ClusterConfig()
+    t0 = time.time()
+    match_df, edges, node_pos = C.query_graph(
+        data, cfg.overlap, list(cfg.jaccard_cutoffs), cfg.edge_threshold,
+        cfg.qlen_diff, cfg.n_alignment_diff, cfg)
+    subgraphs = C.get_subgraphs(edges, node_pos)
+    wall = time.time() - t0
+
+    import resource
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2 ** 20
+
+    # ---- per-group ground-truth verification --------------------------
+    vg = np.linspace(0, n_groups - 1, verify_groups).astype(np.int64)
+    by_group_edges: dict[int, set] = {int(g): set() for g in vg}
+    vg_set = set(int(g) for g in vg)
+    for a, b in edges:
+        g = int(a) // group
+        if g in vg_set:
+            by_group_edges[g].add(tuple(sorted((int(a), int(b)))))
+    verified = 0
+    for g in vg:
+        g = int(g)
+        rows = [it for it in data if it.qname // group == g]
+        # standalone host run of just this group (read ids global);
+        # exact_cap_replay off so both sides use the closed-form replay
+        # (the scale paths' semantics — see ops/capwalk.py)
+        m2, e2, _ = C.query_graph(
+            rows, cfg.overlap, list(cfg.jaccard_cutoffs),
+            cfg.edge_threshold, cfg.qlen_diff, cfg.n_alignment_diff,
+            ClusterConfig(device_enum_min_encounters=1 << 62,
+                          exact_cap_replay=False))
+        want = {tuple(sorted((int(a), int(b)))) for a, b in e2}
+        assert want == by_group_edges[g], (
+            f'group {g}: at-scale edge set diverges from standalone '
+            f'host replay ({len(want)} vs {len(by_group_edges[g])})')
+        verified += 1
+
+    print(json.dumps({
+        'metric': f'breakpoint clustering, {n_reads} reads in '
+                  f'{n_groups} groups of {group} '
+                  f'(config-5 design point; TPU chip + host-spill)',
+        'value': round(n_reads / wall, 2),
+        'unit': 'reads/s',
+        'wall_s': round(wall, 1),
+        'n_edges': len(edges),
+        'n_clusters': len(subgraphs),
+        'peak_rss_gb': round(rss_gb, 1),
+        'verified_groups': verified,
+    }))
+
+
 def main():
+    if '--cluster-scale' in sys.argv:
+        i = sys.argv.index('--cluster-scale')
+        run_cluster_scale(int(sys.argv[i + 1]))
+        return
     if '--scale' in sys.argv:
         i = sys.argv.index('--scale')
         n = int(sys.argv[i + 1])

@@ -190,6 +190,10 @@ def _reg2bin_vec(beg, end):
 
 # BAM seq nibbles for codes 0-4 (A C G T N)
 _NIB = np.array([1, 2, 4, 8, 15], np.uint8)
+# complement in code space (N stays N)
+_COMP5 = np.array([3, 2, 1, 0, 4], np.uint8)
+# phred byte -> BAM qual (clip(q - 33, 0, 93))
+_QLUT = np.clip(np.arange(256) - 33, 0, 93).astype(np.uint8)
 
 _BAM_HDR_DT = np.dtype([
     ('bs', '<i4'), ('rid', '<i4'), ('pos', '<i4'), ('lrn', 'u1'),
@@ -291,37 +295,41 @@ def encode_chunk_items(aln, lo, names_buf, name_off, codes, seq_off,
     buf[op_base[:, None] + np.arange(4)] = cbytes
 
     # ---- seq nibbles + qual (primaries only) --------------------------
+    # per-record CONTIGUOUS slice copies + one-LUT vector ops per record:
+    # element-level ragged gathers over the ~180M seq/qual positions of a
+    # 64k-read chunk cost ~100 s on the 2-core host (measured); slice
+    # memcpys + small per-record numpy calls cost ~2 s
     seq_start = cig_start + 4 * ncig
     prim = np.flatnonzero(pri)
     if len(prim):
-        rp = rg[prim]
-        lp = qlen[prim]
-        revp = rev[prim]
-        _, prow, pintra = _ragged(np.zeros(len(prim)), lp)
-        fwd_idx = seq_off[rp].astype(np.int64)[prow] + pintra
-        rev_idx = seq_off[rp + 1].astype(np.int64)[prow] - 1 - pintra
-        src = codes[np.where(revp[prow], rev_idx, fwd_idx)].astype(
-            np.int64)
-        src = np.where(revp[prow] & (src < 4), 3 - src, src)
-        nib = _NIB[np.minimum(src, 4)]
-        bytep = seq_start[prim][prow] + pintra // 2
-        evn = pintra % 2 == 0
-        buf[bytep[evn]] = nib[evn] << 4
-        odd = ~evn
-        buf[bytep[odd]] = buf[bytep[odd]] | nib[odd]
-
-        qual_start = seq_start + sqb
-        qdst = qual_start[prim][prow] + pintra
-        if len(quals_buf):
-            qsrc = np.frombuffer(quals_buf, np.uint8)[
-                np.where(revp[prow],
-                         qual_off[rp + 1].astype(np.int64)[prow] - 1
-                         - pintra,
-                         qual_off[rp].astype(np.int64)[prow] + pintra)]
-            buf[qdst] = np.clip(qsrc.astype(np.int16) - 33, 0,
-                                93).astype(np.uint8)
-        else:
-            buf[qdst] = 255
+        qv = np.frombuffer(quals_buf, np.uint8) if len(quals_buf) \
+            else None
+        so_l = seq_off[rg[prim]].astype(np.int64).tolist()
+        lp_l = qlen[prim].tolist()
+        rev_l = rev[prim].tolist()
+        sst_l = seq_start[prim].tolist()
+        qst_l = (seq_start + sqb)[prim].tolist()
+        qo_l = (qual_off[rg[prim]].astype(np.int64).tolist()
+                if qv is not None else None)
+        for t in range(len(prim)):
+            o, l, rv = so_l[t], lp_l[t], rev_l[t]
+            c = codes[o:o + l]
+            if rv:
+                c = _COMP5[c[::-1]]
+            nib = _NIB[c]
+            d = sst_l[t]
+            n2 = l // 2
+            pk = nib[0:2 * n2:2] << 4
+            pk |= nib[1:2 * n2:2]
+            buf[d:d + n2] = pk
+            if l % 2:
+                buf[d + n2] = nib[l - 1] << 4
+            qd = qst_l[t]
+            if qv is not None:
+                q = qv[qo_l[t]:qo_l[t] + l]
+                buf[qd:qd + l] = _QLUT[q[::-1] if rv else q]
+            else:
+                buf[qd:qd + l] = 255
 
     # ---- AS:i tag -----------------------------------------------------
     tag_start = seq_start + sqb + l_seq

@@ -465,15 +465,15 @@ def build_entries(jobs: list[ChromJob], R: int, max_itv: int, max_nc: int,
                 print(f'WARNING: sharded encounter build overflow '
                       f'({e}); falling back to host-spill path',
                       file=sys.stderr)
-                return _build_entries_spill(jobs, R, max_itv, max_nc,
-                                            qlen2, naln, qlen_thresh,
-                                            naln_thresh, slice_cap)
+                return _spill_with_retry(jobs, R, max_itv, max_nc,
+                                         qlen2, naln, qlen_thresh,
+                                         naln_thresh, slice_cap)
             except Exception as e:
                 # HBM exhaustion mid-build (e.g. other stages' cached
-                # device arrays shrank the headroom): free the partial
-                # build and retry on the host-spill path rather than
-                # dying — parity with the reference's "never OOMs, just
-                # slows down" behavior on big inputs
+                # device arrays, or other tenants of a SHARED chip,
+                # shrank the headroom): free the partial build and retry
+                # on the host-spill path rather than dying — parity with
+                # the reference's "never OOMs, just slows down" behavior
                 if 'RESOURCE_EXHAUSTED' not in str(e):
                     raise
                 import gc
@@ -481,12 +481,35 @@ def build_entries(jobs: list[ChromJob], R: int, max_itv: int, max_nc: int,
                 print('WARNING: sharded encounter build exhausted HBM; '
                       'falling back to host-spill path', file=sys.stderr)
                 gc.collect()
-                return _build_entries_spill(jobs, R, max_itv, max_nc,
-                                            qlen2, naln, qlen_thresh,
-                                            naln_thresh, slice_cap)
+                return _spill_with_retry(jobs, R, max_itv, max_nc,
+                                         qlen2, naln, qlen_thresh,
+                                         naln_thresh, slice_cap)
         return _build_entries_x64(jobs, R, max_itv, max_nc, qlen2, naln,
                                   qlen_thresh, naln_thresh, slice_cap,
                                   merge_cap)
+
+
+def _spill_with_retry(jobs, R, max_itv, max_nc, qlen2, naln, qlen_thresh,
+                      naln_thresh, slice_cap):
+    """Spill build with a degradation ladder: on HBM exhaustion retry
+    with 4x/16x smaller enumeration slices and pk buckets — slower (more
+    round trips) but with proportionally smaller device transients, so
+    it completes even when most of HBM belongs to someone else."""
+    import gc
+    import sys
+    for div in (1, 4, 16):
+        try:
+            return _build_entries_spill(
+                jobs, R, max_itv, max_nc, qlen2, naln, qlen_thresh,
+                naln_thresh, max(slice_cap // div, 1 << 20),
+                phase2_cap=max((1 << 26) // div, 1 << 20))
+        except Exception as e:
+            if 'RESOURCE_EXHAUSTED' not in str(e) or div == 16:
+                raise
+            print(f'WARNING: host-spill build exhausted HBM at '
+                  f'slice_cap/{div}; retrying at slice_cap/{div * 4}',
+                  file=sys.stderr)
+            gc.collect()
 
 
 def _enum_job_slices(jnp, job, slice_cap, R_j, mn_j):
@@ -948,8 +971,8 @@ def _order_local_fn(N: int, R: int):
 
 
 def _build_entries_spill(jobs, R, max_itv, max_nc, qlen2, naln,
-                         qlen_thresh, naln_thresh,
-                         slice_cap) -> 'HostEntrySet':
+                         qlen_thresh, naln_thresh, slice_cap,
+                         phase2_cap=1 << 26) -> 'HostEntrySet':
     """Out-of-HBM build: device enumerate/dedup/gate over pk-range
     buckets, host-RAM accumulation, host traversal sort.  Capacity is
     bounded by host RAM (billions of pairs), not by HBM."""
@@ -978,7 +1001,7 @@ def _build_entries_spill(jobs, R, max_itv, max_nc, qlen2, naln,
     # pk-range buckets sized so one bucket's duplicated state stays well
     # under the 2 GiB single-buffer limit even with 4x skew
     B = 1
-    while B < 4096 and total_enc // B > (1 << 26):
+    while B < 4096 and total_enc // B > phase2_cap:
         B *= 2
     W = (R * R) // B + 1
     bucket_bounds = np.arange(1, B, dtype=np.int64) * W

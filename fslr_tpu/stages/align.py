@@ -869,8 +869,11 @@ def _select_and_finalize(ca: CandAln, ref: Reference,
         l = np.maximum(np.maximum(
             span, (out.rend - out.rstart + 1).astype(np.int64)), 1)
         identity = 1.0 - (l * match_a - s1) / ((match_a + mismatch_b) * l)
+        # max(l, 2): np.where evaluates both branches, and log(1) = 0
+        # raised a divide-by-zero warning for 1-base spans (discarded by
+        # the where, but noisy at every chunk)
         tmp = np.where(l < _MAPQ_COEF_LEN, 1.0,
-                       _MAPQ_COEF_FAC / np.log(l))
+                       _MAPQ_COEF_FAC / np.log(np.maximum(l, 2)))
         tmp = tmp * identity * identity
         mq = (6.02 * (s1 - sub) / match_a * tmp * tmp + 0.499)
         mq = mq.astype(np.int64)
