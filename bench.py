@@ -210,7 +210,11 @@ def run_cluster_scale(n_reads, group=700, verify_groups=5):
     print(json.dumps({'data_build_s': round(build_s, 1)}),
           file=sys.stderr)
 
-    cfg = ClusterConfig()
+    # exact_cap_replay off: at 10M the run uses the device/spill scale
+    # paths, whose capped-walk semantics are the closed form; keeping the
+    # flag off makes small-n smoke runs (host path) measure and verify
+    # the same semantics
+    cfg = ClusterConfig(exact_cap_replay=False)
     t0 = time.time()
     match_df, edges, node_pos = C.query_graph(
         data, cfg.overlap, list(cfg.jaccard_cutoffs), cfg.edge_threshold,
