@@ -70,7 +70,7 @@ def make_dataset(root, n_reads=N_READS, n_groups=20, ref_mb=None):
     return ref_path, fq_dir
 
 
-def run_once(root, ref_path, fq_dir, tag):
+def run_once(root, ref_path, fq_dir, tag, consensus=False):
     import contextlib
     import json as _json
 
@@ -80,7 +80,8 @@ def run_once(root, ref_path, fq_dir, tag):
 
     out = os.path.join(root, f'out_{tag}')
     config = PipelineConfig(name='B', out=out, ref=ref_path,
-                            primers=('21q1', '17p6'), basecalled=fq_dir)
+                            primers=('21q1', '17p6'), basecalled=fq_dir,
+                            run_consensus=consensus)
     instrument.reset_cells()
     t0 = time.time()
     # keep stdout clean: the driver parses bench.py's single JSON line
@@ -92,23 +93,35 @@ def run_once(root, ref_path, fq_dir, tag):
     return dt, stages, instrument.cell_counts()
 
 
-def measure(tag, n_reads=N_READS, repeats=3):
-    """Best-of-`repeats` warm runs (the tunnelled TPU link's latency
-    fluctuates several-fold between runs).  Returns a dict with reads/s,
-    per-stage timings of the best run, and DP cell-updates/s."""
+def measure(tag, n_reads=N_READS, repeats=3, consensus=False):
+    """`repeats` warm runs (the tunnelled TPU link's latency fluctuates
+    several-fold between runs).  Returns a dict with reads/s of the BEST
+    run plus the full spread (min/median/max wall and per-run per-stage
+    timings) so rounds can be compared and regressions attributed —
+    round-4 verdict: a single sample cannot distinguish a tunnel-latency
+    spike from a real regression."""
     root = tempfile.mkdtemp(prefix='fslr_bench_')
     ref_path, fq_dir = make_dataset(root, n_reads)
-    run_once(root, ref_path, fq_dir, tag + '_warm')     # compile warm-up
-    best = min((run_once(root, ref_path, fq_dir, f'{tag}{r}')
-                for r in range(repeats)), key=lambda r: r[0])
-    dt, stages, cells = best
+    run_once(root, ref_path, fq_dir, tag + '_warm',
+             consensus=consensus)                       # compile warm-up
+    runs = [run_once(root, ref_path, fq_dir, f'{tag}{r}',
+                     consensus=consensus)
+            for r in range(repeats)]
+    walls = sorted(r[0] for r in runs)
+    dt, stages, cells = min(runs, key=lambda r: r[0])
     align_s = stages.get('align', 0.0)
     total_cells = sum(cells.values())
     return {
         'reads_per_s': n_reads / dt,
         'wall_s': round(dt, 2),
+        'wall_s_runs': [round(w, 2) for w in (r[0] for r in runs)],
+        'wall_s_min_med_max': [round(walls[0], 2),
+                               round(walls[len(walls) // 2], 2),
+                               round(walls[-1], 2)],
         'stage_s': {k: round(v, 3) for k, v in sorted(
             stages.items(), key=lambda x: -x[1])},
+        'stage_s_runs': [{k: round(v, 3) for k, v in r[1].items()}
+                         for r in runs],
         'dp_cells': cells,
         'dp_cells_per_s': int(total_cells / dt),
         'align_dp_cells_per_s': (int(cells.get('extend', 0) / align_s)
@@ -266,6 +279,30 @@ def run_cluster_scale(n_reads, group=700, verify_groups=5):
 
 
 def main():
+    if '--consensus' in sys.argv:
+        # consensus-path bench (round-4 verdict item 6): full pipeline +
+        # per-cluster POA consensus -> re-filter -> re-primer -> re-align
+        # -> merge (reference consensus_seq.py:32-37, dormant there)
+        n = 10 * N_READS
+        if '--reads' in sys.argv:
+            n = int(sys.argv[sys.argv.index('--reads') + 1])
+        r = measure('cons', n_reads=n, repeats=3, consensus=True)
+        cells = r['dp_cells']
+        cons_s = r['stage_s'].get('consensus', 0.0)
+        print(json.dumps({
+            'metric': f'end-to-end pipeline + POA consensus reads/s '
+                      f'({n} synthetic fusion reads; TPU chip)',
+            'value': round(r['reads_per_s'], 2),
+            'unit': 'reads/s',
+            'wall_s': r['wall_s'],
+            'wall_s_min_med_max': r['wall_s_min_med_max'],
+            'stage_s': r['stage_s'],
+            'profile_cells': cells.get('profile', 0),
+            'profile_cells_per_s': (int(cells.get('profile', 0) / cons_s)
+                                    if cons_s else 0),
+            'stage_cells_per_s': r['stage_cells_per_s'],
+        }))
+        return
     if '--cluster-scale' in sys.argv:
         i = sys.argv.index('--cluster-scale')
         run_cluster_scale(int(sys.argv[i + 1]))
@@ -304,7 +341,7 @@ def main():
     tpu = measure('tpu')
     r10k = None
     if '--skip-10k' not in sys.argv:
-        r10k = measure('tpu10k', n_reads=10 * N_READS, repeats=1)
+        r10k = measure('tpu10k', n_reads=10 * N_READS, repeats=3)
     out = {
         'metric': 'end-to-end pipeline reads/s (1k synthetic fusion reads, '
                   '2-primer panel; TPU chip). vs_baseline = this same '
@@ -316,14 +353,20 @@ def main():
         'unit': 'reads/s',
         'vs_baseline': (round(tpu['reads_per_s'] / baseline, 2)
                         if baseline else None),
+        'wall_s_min_med_max': tpu['wall_s_min_med_max'],
+        'wall_s_runs': tpu['wall_s_runs'],
         'stage_s': tpu['stage_s'],
+        'stage_s_runs': tpu['stage_s_runs'],
         'align_dp_cells_per_s': tpu['align_dp_cells_per_s'],
         'dp_cells_per_s': tpu['dp_cells_per_s'],
     }
     out['stage_cells_per_s'] = tpu['stage_cells_per_s']
     if r10k is not None:
         out['reads_per_s_10k'] = round(r10k['reads_per_s'], 2)
+        out['wall_s_min_med_max_10k'] = r10k['wall_s_min_med_max']
+        out['wall_s_runs_10k'] = r10k['wall_s_runs']
         out['stage_s_10k'] = r10k['stage_s']
+        out['stage_s_runs_10k'] = r10k['stage_s_runs']
         out['align_dp_cells_per_s_10k'] = r10k['align_dp_cells_per_s']
         out['stage_cells_per_s_10k'] = r10k['stage_cells_per_s']
     print(json.dumps(out))

@@ -110,6 +110,14 @@ class AlignConfig:
     max_overlap: int = 50_000       # dodi --max-overlap 50000
     bias: float = 1.05              # dodi --bias (with --regions)
     min_selected_score: int = 21    # dodi -u 21 (min alignment score kept)
+    # bwa z-drop (reference invocation -d 200, fslr/main.py:125): an
+    # extension whose score drops by more than zdrop is terminated, so a
+    # candidate band fusing two near-diagonal segments yields TWO
+    # alignments instead of one bridged by a giant indel.  Here the
+    # equivalent CIGAR-level rule: split selected alignments at interior
+    # indel runs whose affine penalty exceeds zdrop
+    # (stages/align._zdrop_split_rows); 0 disables splitting.
+    zdrop: int = 200
 
 
 @dataclasses.dataclass(frozen=True)

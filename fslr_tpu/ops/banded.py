@@ -176,6 +176,162 @@ def _banded_pallas(q, w, qlens, *, match, mismatch, fg, ext, BT=DEF_BT):
 
 
 # ---------------------------------------------------------------------------
+# Word-packed code gathers.  XLA lowers jnp.take with per-element indices
+# to a serial-ish HBM gather on TPU (~300 ms for 19k x 1792 uint8 rows);
+# gathering int32 WORDS (4 codes each) and byte-extracting with vector
+# shifts is ~4-8x faster.  Sources are packed little-endian (code i ->
+# byte i % 4 of word i // 4); codes are <= 4 so words are never negative
+# and arithmetic shifts are safe.
+# ---------------------------------------------------------------------------
+
+def pack_codes_host(u8: "np.ndarray"):
+    """Host packing: (G,) uint8 codes -> (ceil(G/4),) int32 words
+    (little-endian), pad bytes = 4 (the N code)."""
+    import numpy as np
+    pad = (-len(u8)) % 4
+    a = np.pad(u8, (0, pad), constant_values=4)
+    return a.view('<i4') if a.flags['C_CONTIGUOUS'] else         np.ascontiguousarray(a).view('<i4')
+
+
+def pack_codes_device(u8):
+    """Device packing of a (..., L) uint8 code array along the last axis
+    (L % 4 == 0) -> (..., L // 4) int32 words."""
+    a = u8.astype(jnp.int32).reshape(u8.shape[:-1] + (-1, 4))
+    return (a[..., 0] | (a[..., 1] << 8) | (a[..., 2] << 16)
+            | (a[..., 3] << 24))
+
+
+def gather_stream(src32, start, L: int):
+    """(N, L) int32 byte stream  out[r, j] = src[start[r] + j]  from a
+    word-packed source.  No validity masking (callers mask by position);
+    out-of-range reads clip to the source and return pad codes."""
+    w0 = start >> 2                     # arithmetic shift = floor division
+    a = start & 3
+    nw = L // 4 + 1
+    widx = jnp.clip(w0[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :],
+                    0, src32.shape[0] - 1)
+    W = jnp.take(src32, widx)           # (N, nw)
+    sh = (jnp.arange(4, dtype=jnp.int32) * 8)[None, None, :]
+    B = ((W[:, :, None] >> sh) & 255).reshape(W.shape[0], nw * 4)
+    aa = a[:, None]
+    return jnp.where(
+        aa == 0, B[:, 0:L],
+        jnp.where(aa == 1, B[:, 1:L + 1],
+                  jnp.where(aa == 2, B[:, 2:L + 2], B[:, 3:L + 3])))
+
+
+def gather_stream_rows(rows32, start, L: int):
+    """Per-row variant: out[r, j] = rows[r, 4*w + b] byte stream starting
+    at in-row byte offset start[r] (clipped to the row)."""
+    w0 = start >> 2
+    a = start & 3
+    nw = L // 4 + 1
+    widx = jnp.clip(w0[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :],
+                    0, rows32.shape[1] - 1)
+    W = jnp.take_along_axis(rows32, widx, axis=1)
+    sh = (jnp.arange(4, dtype=jnp.int32) * 8)[None, None, :]
+    B = ((W[:, :, None] >> sh) & 255).reshape(W.shape[0], nw * 4)
+    aa = a[:, None]
+    return jnp.where(
+        aa == 0, B[:, 0:L],
+        jnp.where(aa == 1, B[:, 1:L + 1],
+                  jnp.where(aa == 2, B[:, 2:L + 2], B[:, 3:L + 3])))
+
+
+# ---------------------------------------------------------------------------
+# Score-only extension (forward + reverse pass): the fast path over ALL
+# candidates.  The traceback-emit kernel (ops/traceback.py) sustains ~3
+# Gcells/s against ~50 Gcells/s for this kernel, so candidates only pay
+# the emit cost AFTER selection (stages/align.py runs the emit kernel on
+# the dodi-selected winners only — typically ~15% of candidates).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('match', 'mismatch', 'fg',
+                                             'ext', 'WL', 'use_pallas'))
+def _score_extend_impl(q, qlens, ws, cmin, cmax, genome32, *, match,
+                       mismatch, fg, ext, WL, use_pallas):
+    """Window gather + forward banded SW (ends) + reverse banded SW
+    (begins), one jit, nothing but a (N, 5) int32 result to fetch.
+
+    ``genome32`` is the word-packed genome (pack_codes_host); all windows
+    and the reversed query are built with word gathers + vector byte
+    extraction (see gather_stream) — element-wise uint8 gathers were the
+    dominant cost of this whole stage on TPU.
+
+    Reverse-pass geometry: a forward path ends at query i* = qend with the
+    band cell covering ref position  re = ws + i* + l*.  Reversing both
+    sequences around that end maps forward band cell (i, l) onto reverse
+    cell (j, l2) = (i* - i, BW-1 - l): with the reversed window read
+    wr[t] = genome[rstart0 - t] anchored at  rstart0 = ws + qend + BW - 1
+    (independent of l*), the reverse diag offset is l2 = BW-1 - l, which
+    covers [0, BW) exactly.  The reverse best end (jend, lane_r) then
+    gives  qstart = qend - jend  and the begin lane  l_fin = BW-1 - lane_r
+    (rbegin = ws + qstart + l_fin).  Affine gap scores are invariant under
+    reversal, so the reverse best score equals the forward score; on
+    co-optimal ties the reverse pass may pick a different (equally
+    optimal) begin than a traceback walk would — selected alignments get
+    their begins re-derived from the real walk (stages/align.py), so
+    artifacts never see the difference.
+    """
+    GB = genome32.shape[0] * 4       # incl. <=3 pad bytes of code 4
+    tt = jnp.arange(WL, dtype=jnp.int32)[None, :]
+    idx = ws[:, None] + tt
+    valid = (idx >= cmin[:, None]) & (idx < cmax[:, None]) \
+        & (idx >= 0) & (idx < GB)
+    w = jnp.where(valid, gather_stream(genome32, ws, WL), 4)
+    kw = dict(match=match, mismatch=mismatch, fg=fg, ext=ext)
+    fb = _banded_pallas if use_pallas else _banded_jax
+    score, qend, lane = fb(q, w, qlens, **kw)
+
+    SL = q.shape[1]
+    jar = jnp.arange(SL, dtype=jnp.int32)[None, :]
+    q32 = pack_codes_device(q)
+    # qrev[j] = q[qend - j]: forward stream from qend-(SL-1), flipped
+    qr_stream = gather_stream_rows(q32, qend - (SL - 1), SL)[:, ::-1]
+    qidx = qend[:, None] - jar
+    qr = jnp.where(qidx >= 0, qr_stream, 4)
+    rstart0 = ws + qend + (BW - 1)
+    ridx = rstart0[:, None] - tt
+    rvalid = (ridx >= cmin[:, None]) & (ridx < cmax[:, None]) \
+        & (ridx >= 0) & (ridx < GB)
+    wr_stream = gather_stream(genome32, rstart0 - (WL - 1), WL)[:, ::-1]
+    wr = jnp.where(rvalid, wr_stream, 4)
+    _score_r, jend, lane_r = fb(qr, wr, qend + 1, **kw)
+    qstart = qend - jend
+    l_fin = (BW - 1) - lane_r
+    return jnp.stack([score.astype(jnp.int32), qend, lane, qstart, l_fin])
+
+
+def banded_extend_score(q, qlens, ws, cmin, cmax, genome_dev,
+                        scoring: ScoringConfig, backend: str | None = None):
+    """Score-only extension against device-resident genome windows.
+
+    Args: q (N, SL) uint8 read-slice codes; ws/cmin/cmax (N,) int32 global
+    window starts and contig bounds; genome_dev: word-packed int32 genome
+    (pack_codes_host).
+    Returns a device (5, N) int32 array [score, qend, lane, qstart,
+    l_fin] (ends/begins 0-based inclusive; rbegin = ws + qstart + l_fin,
+    rend = ws + qend + lane).  Fetch after all dispatches.
+    """
+    use_pallas = not (backend == 'jax' or (backend is None and
+                                           jax.default_backend() != 'tpu'))
+    kw = dict(match=float(scoring.match), mismatch=float(scoring.mismatch),
+              fg=first_gap_cost(scoring), ext=float(scoring.gap_extend),
+              WL=q.shape[1] + 256, use_pallas=use_pallas)
+    if backend == 'pallas_interpret':
+        kw['use_pallas'] = True
+        with pltpu.force_tpu_interpret_mode():
+            return _score_extend_impl(
+                jnp.asarray(q), jnp.asarray(qlens, jnp.int32),
+                jnp.asarray(ws, jnp.int32), jnp.asarray(cmin, jnp.int32),
+                jnp.asarray(cmax, jnp.int32), genome_dev, **kw)
+    return _score_extend_impl(
+        jnp.asarray(q), jnp.asarray(qlens, jnp.int32),
+        jnp.asarray(ws, jnp.int32), jnp.asarray(cmin, jnp.int32),
+        jnp.asarray(cmax, jnp.int32), genome_dev, **kw)
+
+
+# ---------------------------------------------------------------------------
 # Pure-JAX fallback (CPU tests / oracle cross-check)
 # ---------------------------------------------------------------------------
 

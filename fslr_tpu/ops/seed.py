@@ -189,13 +189,24 @@ def seed_candidates(reads, lens, counts, positions, *, k, stride,
     hq = jnp.broadcast_to(qpos[None, :, None], (B, S, C)).reshape(B, M)
     hr = rpos.reshape(B, M)
     hv = hit_valid.reshape(B, M)
+    # Sampling-corrected hit weight: a k-mer with occ occurrences keeps
+    # only C sampled placements, so each sampled hit stands for
+    # ~occ/C real seed positions on its copy-diagonal.  Candidate
+    # COUNTS stay raw (peel priority + coverage budget were tuned on
+    # them); the weight sum feeds the chain filter, where comparing a
+    # sampled repeat segment's raw count against an unsampled unique
+    # segment's shadowed true repeat anchors out of extension
+    # (tests/test_repetitive_recall.py, 50 copies).
+    hw = jnp.broadcast_to(jnp.maximum(occ // C, 1)[:, :, None],
+                          (B, S, C)).reshape(B, M)
 
-    # validity-first sort by diagonal; hq is the only payload — validity
+    # validity-first sort by diagonal; hq/hw ride as payloads — validity
     # (key < BIG) and reference position (diag + qpos) are recomputed from
     # the sorted key instead of riding the sort (argsort + per-payload
     # take_along_axis costs ~0.2 s per gather on TPU at this width)
     diag_s = jnp.where(hv, diag, BIG)
-    diag_s, hq = jax.lax.sort((diag_s, hq), dimension=1, num_keys=1)
+    diag_s, hq, hw = jax.lax.sort((diag_s, hq, hw), dimension=1,
+                                  num_keys=1)
     hv = diag_s < BIG
     hr = diag_s + hq              # only read under sel-masks (sel => hv)
 
@@ -245,7 +256,7 @@ def seed_candidates(reads, lens, counts, positions, *, k, stride,
     covered = jnp.zeros_like(hv)
     covered2 = jnp.zeros_like(hv)
     out = {n: [] for n in ('diag', 'count', 'qmin', 'qmax', 'rmin', 'rmax',
-                           'valid')}
+                           'valid', 'wsum')}
     for _ in range(max_cand):
         j = jnp.argmax(dens, axis=1)                           # (B,)
         d0 = jnp.take_along_axis(diag_s, j[:, None], axis=1)   # (B, 1)
@@ -268,10 +279,23 @@ def seed_candidates(reads, lens, counts, positions, *, k, stride,
         m1 = jnp.sum(jnp.where(sel0, rel, 0), axis=1)[:, None] // n0
         half = max(band_w // 2, 16)
         sel1 = alive & (jnp.abs(rel - m1) <= half)
-        n1 = jnp.maximum(jnp.sum(sel1, axis=1), 1)[:, None]
-        m2 = jnp.sum(jnp.where(sel1, rel, 0), axis=1)[:, None] // n1
+        n1_raw = jnp.sum(sel1, axis=1)[:, None]
+        m2_c = jnp.sum(jnp.where(sel1, rel, 0), axis=1)[:, None] \
+            // jnp.maximum(n1_raw, 1)
+        # bimodal bands (two near-diagonal segments, e.g. a read with a
+        # 60-120 bp indel): m1 can land in the VALLEY between the two
+        # diagonal clusters, leaving sel1 empty -- falling back to 0
+        # instead of m1 re-centered the window on one cluster and the
+        # kill zone then erased the other segment without ever selecting
+        # it (lost 65-96 bp deletions; found by
+        # tests/test_align.py::test_zdrop_keeps_small_deletion).  Keep
+        # the mean: the +-band_w selection window around it spans both
+        # clusters and the extension band bridges them, exactly as bwa
+        # extends across a sub-z-drop gap.
+        m2 = jnp.where(n1_raw > 0, m2_c, m1)
         sel = alive & (jnp.abs(rel - m2) <= band_w)
         cnt = jnp.sum(sel, axis=1)
+        wsum = jnp.sum(jnp.where(sel, hw, 0), axis=1)
         qmin = jnp.min(jnp.where(sel, hq, BIG), axis=1)
         qmax = jnp.max(jnp.where(sel, hq + k, -1), axis=1)
         rmin = jnp.min(jnp.where(sel, hr, BIG), axis=1)
@@ -287,15 +311,22 @@ def seed_candidates(reads, lens, counts, positions, *, k, stride,
         out['rmin'].append(rmin)
         out['rmax'].append(rmax)
         out['valid'].append(cnt > 0)
+        out['wsum'].append(wsum)
         in_span = ((hq >= qmin[:, None]) & (hq + k <= qmax[:, None])
                    & (cnt > 0)[:, None])
         covered2 = covered2 | (covered & in_span)
         covered = covered | in_span
-        # kill only the selected mode's +-band_w neighborhood plus a
-        # half-band margin: a distinct segment whose diagonals sit just
-        # past band_w must survive for its own peel round
-        kill = jnp.abs(rel - m2) <= band_w + band_w // 2
-        a = jnp.sum(rel < m2 - band_w - band_w // 2, axis=1)[:, None]
+        # kill EXACTLY the selected +-band_w window: a wider kill zone
+        # (an extra half-band margin, as earlier rounds used) erased
+        # segments whose diagonals sit in (band_w, 1.5*band_w] of a
+        # stronger segment WITHOUT ever selecting them -- e.g. the
+        # downstream side of a 65-96 bp deletion (found by
+        # tests/test_align.py::test_zdrop_keeps_small_deletion).  Such
+        # neighbours now win their own peel round; stages/align.py then
+        # merges near-diagonal candidates so sub-z-drop gaps still
+        # extend as ONE bridged alignment, as bwa would.
+        kill = jnp.abs(rel - m2) <= band_w
+        a = jnp.sum(rel < m2 - band_w, axis=1)[:, None]
         b = a + jnp.sum(kill, axis=1)[:, None]
         overlap = jnp.clip(jnp.minimum(idx, b - 1)
                            - jnp.maximum(plo, a) + 1, 0, None)

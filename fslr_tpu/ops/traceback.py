@@ -327,12 +327,12 @@ def _extend_walk_impl(q, qlens, ws, cmin, cmax, genome, *, match, mismatch,
     small results come back as ONE packed int32 array; only the compact
     emit stream is a second transfer.
     """
-    G = genome.shape[0]
+    from fslr_tpu.ops.banded import gather_stream
+    GB = genome.shape[0] * 4         # word-packed; <=3 pad bytes code 4
     idx = ws[:, None] + jnp.arange(WL, dtype=jnp.int32)[None, :]
     valid = (idx >= cmin[:, None]) & (idx < cmax[:, None]) \
-        & (idx >= 0) & (idx < G)
-    w = jnp.where(valid, jnp.take(genome, jnp.clip(idx, 0, G - 1)),
-                  jnp.uint8(4))
+        & (idx >= 0) & (idx < GB)
+    w = jnp.where(valid, gather_stream(genome, ws, WL), 4)
     kw = dict(match=match, mismatch=mismatch, fg=fg, ext=ext)
     if use_pallas:
         score, qend, lane, bits = _tb_pallas(q, w, qlens, **kw)
@@ -357,7 +357,8 @@ def banded_extend(q, qlens, ws, cmin, cmax, genome_dev,
     """Extension + traceback against device-resident genome windows.
 
     Args: q (N, SL) uint8 read-slice codes; ws/cmin/cmax (N,) int32 global
-    window starts and contig bounds; genome_dev (G,) uint8 jax array.
+    window starts and contig bounds; genome_dev: word-packed int32 genome
+    (ops/banded.pack_codes_host).
     Returns (score, qend, lane, qstart, l_fin, cigars) numpy/host values.
     """
     use_pallas = not (backend == 'jax' or (backend is None and
@@ -513,25 +514,70 @@ def finalize_scores(packed):
     return p[0], p[1], p[2], p[3], p[4]
 
 
+# Byte-level boundary LUTs for decode_emit_rle: a packed byte holds 4
+# codes; only bytes with an internal code change, or whose first code
+# differs from the previous byte's last code, can contain a run boundary
+# (~10 per row vs ~1000 codes), so the per-code expansion happens only at
+# those bytes.
+_B_CODES = (((np.arange(256, dtype=np.uint16)[:, None]
+              >> np.array([0, 2, 4, 6])) & 3).astype(np.uint8))   # (256,4)
+_B_FIRST = _B_CODES[:, 0].copy()
+_B_LAST = _B_CODES[:, 3].copy()
+_B_INT_BRK = (_B_CODES[:, 1:] != _B_CODES[:, :-1]).any(axis=1)
+
+
 def decode_emit_rle(blocks: np.ndarray):
     """Columnar RLE of a (n, t4) block of 2-bit-packed emit rows:
     (seg_row, seg_len, seg_op) numpy arrays in row order, op codes
-    0/1/2 = M/I/D (BAM op numbering).  One vectorized pass; the
-    list-of-tuples form (:func:`decode_emit_rows`) is derived from it
-    only where Python lists are actually consumed."""
+    0/1/2 = M/I/D (BAM op numbering).
+
+    Boundary detection is byte-granular (LUTs above): only candidate
+    bytes are expanded to codes — the previous per-op expansion
+    (np.nonzero over every M/I/D step) materialized ~1 GB of
+    freshly-paged intermediates per 30k-alignment block and cost ~3 s
+    of the 10k-read align stage.  "none" codes (3) form their own runs,
+    are dropped, and adjacent same-op runs they separated are merged —
+    in walk-produced streams a none only ever sits at a gap open
+    (between different ops), but the merge keeps this exact for
+    arbitrary blocks too (tests/test_traceback.py feeds random ones)."""
     n = len(blocks)
-    e = ((blocks[:, :, None] >> np.array([0, 2, 4, 6], np.uint8)) & 3)
-    e = e.reshape(n, -1)[:, ::-1]          # emitted end->start: reverse
-    rowv, colv = np.nonzero(e != 3)
-    if not len(rowv):
+    if n == 0:
         z = np.zeros(0, np.int64)
         return z, z, z
-    vals = e[rowv, colv]
-    brk = np.flatnonzero((vals[1:] != vals[:-1])
-                         | (rowv[1:] != rowv[:-1]))
-    starts = np.concatenate([[0], brk + 1])
-    ends = np.concatenate([brk + 1, [len(vals)]])
-    return (rowv[starts].astype(np.int64), (ends - starts),
+    t4 = blocks.shape[1]
+    T = t4 * 4
+    first = _B_FIRST[blocks]               # (n, t4)
+    last = _B_LAST[blocks]
+    prev_last = np.empty_like(last)
+    prev_last[:, 0] = 255                  # row start: always a boundary
+    prev_last[:, 1:] = last[:, :-1]
+    cand = _B_INT_BRK[blocks] | (first != prev_last)
+    rr_b, bb = np.nonzero(cand)            # candidate bytes, row-major
+    codes4 = _B_CODES[blocks[rr_b, bb]]    # (m, 4)
+    prevs = np.concatenate([prev_last[rr_b, bb][:, None],
+                            codes4[:, :3]], axis=1)
+    is_brk = codes4 != prevs               # (m, 4)
+    mr, mo = np.nonzero(is_brk)            # still row-major, t ascending
+    rr = rr_b[mr]
+    tt = bb[mr] * 4 + mo
+    flat = rr * np.int64(T) + tt
+    lengths = np.diff(np.append(flat, n * np.int64(T)))
+    vals = codes4[mr, mo]
+    keep = vals != 3
+    rr, tt = rr[keep], tt[keep]
+    lengths, vals = lengths[keep], vals[keep]
+    if not len(vals):
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    # emitted order is end->start: reverse run order within each row
+    ordr = np.lexsort((-tt, rr))
+    rr, lengths, vals = rr[ordr], lengths[ordr], vals[ordr]
+    # merge adjacent same-op runs separated only by dropped none-runs
+    new_seg = np.ones(len(vals), bool)
+    new_seg[1:] = (rr[1:] != rr[:-1]) | (vals[1:] != vals[:-1])
+    starts = np.flatnonzero(new_seg)
+    seg_len = np.add.reduceat(lengths, starts)
+    return (rr[starts].astype(np.int64), seg_len.astype(np.int64),
             vals[starts].astype(np.int64))
 
 

@@ -131,13 +131,19 @@ def make_device_step(config: PipelineConfig, n_primer_targets: int,
             reads, lens, counts, positions, k=k, stride=acfg.seed_stride,
             occ_drop=acfg.occ_drop, band_w=acfg.band_width // 2,
             max_cand=NCAND, S=n_seed_pos, C=16)
+        # banded_extend expects a word-packed genome (ops/banded
+        # gather_stream); pack the replicated device genome in-trace
+        from fslr_tpu.ops.banded import pack_codes_device
         G = genome.shape[0]
+        gpad = (-G) % 4
+        genome32 = pack_codes_device(
+            jnp.pad(genome, (0, gpad), constant_values=4))
         qs_all, qe_all, sc_all, v_all = [], [], [], []
         for c in range(NCAND):
             ws = cand['diag'][:, c] - BW // 2
             packed, _emits = tbmod.banded_extend(
                 reads, lens, ws, jnp.zeros_like(ws),
-                jnp.full_like(ws, G), genome, asc, backend='jax')
+                jnp.full_like(ws, G), genome32, asc, backend='jax')
             qs_all.append(packed[3].astype(jnp.int32))
             qe_all.append(packed[1].astype(jnp.int32) + 1)
             sc_all.append(packed[0].astype(jnp.float32))

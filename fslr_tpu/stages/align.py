@@ -33,7 +33,10 @@ does not depend on the exact constants.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from fslr_tpu import instrument
@@ -44,6 +47,39 @@ from fslr_tpu.index.reference import packed_seed_table \
     as refmod_packed_seed_table
 from fslr_tpu.ops import banded, seed, selection
 from fslr_tpu.parallel import dispatch
+
+# ---------------------------------------------------------------------------
+# Sub-phase wall-clock accounting (FSLR_ALIGN_TIMERS=1): the align stage is
+# dominated by host<->device round trips on a tunnelled TPU, so per-phase
+# timers (assembly vs dispatch vs fetch) are the only way to attribute its
+# wall time.  Zero overhead when disabled.
+
+import os as _os
+import time as _time
+
+_SUBT: dict = {}
+_SUBT_ON = bool(_os.environ.get('FSLR_ALIGN_TIMERS'))
+
+
+class _sub:
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        if _SUBT_ON:
+            self.t0 = _time.perf_counter()
+
+    def __exit__(self, *a):
+        if _SUBT_ON:
+            _SUBT[self.name] = (_SUBT.get(self.name, 0.0)
+                                + _time.perf_counter() - self.t0)
+
+
+def sub_timings(reset=True):
+    out = dict(_SUBT)
+    if reset:
+        _SUBT.clear()
+    return out
 
 
 @dataclasses.dataclass
@@ -98,26 +134,41 @@ def _pad128(n):
 
 
 def _device_arrays(ref: Reference, sidx: SeedIndex):
-    """Device-resident genome + index, cached on the SeedIndex so repeated
-    batches don't re-upload (the genome can be ~1 GB/shard and the TPU
-    link is high-latency).  Under an active mesh the tables are placed
+    """Device-resident genome (word-packed, ops/banded.pack_codes_host) +
+    index, cached on the SeedIndex so repeated batches don't re-upload
+    (the genome can be ~1 GB/shard and the TPU link is high-latency).  Under an active mesh the tables are placed
     replicated across every device up front (one transfer, not one per
     sharded kernel call)."""
     mesh = dispatch.active_mesh()
     cached_mesh, cached = getattr(sidx, '_dev', (None, None))
     if cached is None or cached_mesh is not mesh:
-        import jax
-        import jax.numpy as jnp
-        arrs = (ref.codes, sidx.counts.astype(np.int32),
-                sidx.positions.astype(np.int32))
-        if mesh is not None and mesh.devices.size > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            sh = NamedSharding(mesh, P())
-            cached = tuple(jax.device_put(a, sh) for a in arrs)
-        else:
-            cached = tuple(jnp.asarray(a) for a in arrs)
-        sidx._dev = (mesh, cached)
+        with _sub('upload.tables'):
+            import jax
+            import jax.numpy as jnp
+            arrs = (banded.pack_codes_host(ref.codes),
+                    sidx.counts.astype(np.int32),
+                    sidx.positions.astype(np.int32))
+            if mesh is not None and mesh.devices.size > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(mesh, P())
+                cached = tuple(jax.device_put(a, sh) for a in arrs)
+            else:
+                cached = tuple(jnp.asarray(a) for a in arrs)
+            sidx._dev = (mesh, cached)
     return cached
+
+
+def _device_cat(cat: np.ndarray):
+    """Upload the concatenated read codes once per batch, WORD-PACKED
+    (ops/banded.pack_codes_host) — every kernel gathers its row slices
+    from this with int32 word gathers (replicated across the mesh when
+    one is active)."""
+    packed = banded.pack_codes_host(cat)
+    mesh = dispatch.active_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(packed, NamedSharding(mesh, P()))
+    return jnp.asarray(packed)
 
 
 def _build_regions(regions_path, names):
@@ -158,6 +209,7 @@ class Cands:
     cnt: np.ndarray      # int64 seed count
     qmn: np.ndarray      # int64 min seed query pos (strand orientation)
     qmx: np.ndarray      # int64 max seed query pos
+    wcnt: np.ndarray     # int64 occ-sampling-corrected seed weight
 
     def __len__(self):
         return len(self.ridx)
@@ -178,14 +230,21 @@ class Cands:
 def _empty_cands() -> Cands:
     return Cands(np.zeros(0, np.int64), np.zeros(0, bool),
                  np.zeros(0, np.int64), np.zeros(0, np.int64),
-                 np.zeros(0, np.int64), np.zeros(0, np.int64))
+                 np.zeros(0, np.int64), np.zeros(0, np.int64),
+                 np.zeros(0, np.int64))
 
 
 @dataclasses.dataclass
 class CandAln:
-    """Struct-of-arrays candidate alignments (pre-selection).  CIGAR emit
-    streams stay device-resident: ``emit_buf``/``emit_row`` index into
-    ``emit_bufs``; only selected rows are ever fetched."""
+    """Struct-of-arrays candidate alignments (pre-selection).
+
+    Coordinates come from the score-only forward+reverse extension pass
+    (ops/banded.banded_extend_score) -- CIGARs are NOT computed here.  The
+    ``ext_*`` columns carry everything needed to re-run the (17x slower)
+    traceback-emit kernel on the dodi-selected winners only
+    (_emit_selected): the window geometry in the SOURCE genome's global
+    coordinates plus ``src`` indexing into ``genomes`` (one entry per
+    reference: main / masked / index shard -- (device codes, host codes))."""
     read_idx: np.ndarray     # int64
     strand_rev: np.ndarray   # bool
     chrom_idx: np.ndarray    # int64
@@ -195,41 +254,47 @@ class CandAln:
     qend_o: np.ndarray       # int64 exclusive
     qlen: np.ndarray         # int64
     score: np.ndarray        # int64
-    emit_buf: np.ndarray     # int32 index into emit_bufs, -1 = none
-    emit_row: np.ndarray     # int32 row within the buffer
-    emit_bufs: list          # device 2-bit emit buffers
+    ext_ws: np.ndarray       # int64 window start (source-global coords)
+    ext_qlo: np.ndarray      # int64 query slice start (strand orientation)
+    ext_qlen: np.ndarray     # int32 kernel qlens value (slice length)
+    ext_sl: np.ndarray       # int32 slice bucket (kernel row width)
+    ext_cmin: np.ndarray     # int64 contig lower bound (source-global)
+    ext_cmax: np.ndarray     # int64 contig upper bound (source-global)
+    src: np.ndarray          # int32 index into genomes
+    genomes: list            # (device codes, host codes) per source
 
     _COLS = ('read_idx', 'strand_rev', 'chrom_idx', 'rstart', 'rend',
-             'qstart_o', 'qend_o', 'qlen', 'score', 'emit_buf',
-             'emit_row')
+             'qstart_o', 'qend_o', 'qlen', 'score', 'ext_ws', 'ext_qlo',
+             'ext_qlen', 'ext_sl', 'ext_cmin', 'ext_cmax', 'src')
 
     def __len__(self):
         return len(self.read_idx)
 
     def take(self, idx):
         return CandAln(*(getattr(self, c)[idx] for c in self._COLS),
-                       self.emit_bufs)
+                       self.genomes)
 
     @staticmethod
     def concat(parts):
         parts = [p for p in parts if len(p)]
         if not parts:
             return _empty_cand_aln()
-        bufs: list = []
+        gens: list = []
         cols = {c: [] for c in CandAln._COLS}
         for p in parts:
-            eb = p.emit_buf.copy()
-            eb[eb >= 0] += len(bufs)
-            bufs.extend(p.emit_bufs)
+            sb = p.src.copy()
+            sb[sb >= 0] += len(gens)
+            gens.extend(p.genomes)
             for c in CandAln._COLS:
-                cols[c].append(eb if c == 'emit_buf' else getattr(p, c))
+                cols[c].append(sb if c == 'src' else getattr(p, c))
         return CandAln(*(np.concatenate(cols[c]) for c in CandAln._COLS),
-                       bufs)
+                       gens)
 
 
 def _empty_cand_aln() -> CandAln:
     dts = (np.int64, bool, np.int64, np.int64, np.int64, np.int64,
-           np.int64, np.int64, np.int64, np.int32, np.int32)
+           np.int64, np.int64, np.int64, np.int64, np.int64, np.int32,
+           np.int32, np.int64, np.int64, np.int32)
     return CandAln(*(np.zeros(0, dt) for dt in dts), [])
 
 
@@ -254,23 +319,31 @@ def align_batch(seqs: list[str], ref: Reference, sidx: SeedIndex,
     else:
         from fslr_tpu.encode import encode_cat
         cat, off = encode_cat(seqs)
-    ca = _gather_candidates(cat, off, ref, sidx, config, backend)
+    # ONE upload of the batch's read codes; every kernel (seeding,
+    # extension, emit) gathers its row slices from this on device —
+    # uploading assembled slices cost ~10x the codes themselves over the
+    # tunnelled TPU link
+    cat_j = _device_cat(cat)
+    ca = _gather_candidates(cat, off, ref, sidx, config, backend, cat_j)
     if masked is not None:
         mref, msidx = masked
         name_to_idx = {n: i for i, n in enumerate(ref.names)}
-        mca = _gather_candidates(cat, off, mref, msidx, config, backend)
+        mca = _gather_candidates(cat, off, mref, msidx, config, backend,
+                                 cat_j)
         remap = np.array([name_to_idx.get(n, -1) for n in mref.names],
                          np.int64)
         new_ci = remap[mca.chrom_idx]
         mca = mca.take(np.flatnonzero(new_ci >= 0))
         mca.chrom_idx = new_ci[new_ci >= 0]
         ca = CandAln.concat([ca, mca])
-    return _select_and_finalize(ca, ref, config, regions_path)
+    return _select_and_finalize(ca, ref, config, regions_path,
+                                cat, off, backend, cat_j)
 
 
 def _gather_candidates(cat: np.ndarray, off: np.ndarray, ref: Reference,
                        sidx: SeedIndex, config: PipelineConfig,
-                       backend: str | None = None) -> CandAln:
+                       backend: str | None = None,
+                       cat_j=None) -> CandAln:
     """Seed + extend: candidate alignments against one reference.
 
     Sharded indexes (genomes > index.reference.MAX_UNSHARDED_BASES, e.g.
@@ -278,16 +351,21 @@ def _gather_candidates(cat: np.ndarray, off: np.ndarray, ref: Reference,
     positions and contig ids remapped onto the parent reference — the
     selection DP then arbitrates across shards exactly as it does across
     the masked/whole candidate pool."""
+    if cat_j is None:
+        cat_j = _device_cat(cat)
     if sidx.shards:
-        return _gather_candidates_sharded(cat, off, sidx, config, backend)
-    cands = _seed_rows(cat, off, ref, sidx, config, backend)
+        return _gather_candidates_sharded(cat, off, sidx, config, backend,
+                                          cat_j)
+    cands = _seed_rows(cat, off, ref, sidx, config, backend, cat_j)
+    cands = _merge_near_diagonal(cands, config)
     cands = _chain_filter(cands, np.diff(off), config)
-    return _extend_rows(cands, cat, off, ref, sidx, config, backend)
+    return _extend_rows(cands, cat, off, ref, sidx, config, backend, cat_j)
 
 
 def _gather_candidates_sharded(cat: np.ndarray, off: np.ndarray,
                                sidx: SeedIndex, config: PipelineConfig,
-                               backend: str | None = None) -> CandAln:
+                               backend: str | None = None,
+                               cat_j=None) -> CandAln:
     """Seed every shard, merge candidates to the same per-(read, strand)
     budget a single index would have (top max_candidates by seed count —
     per-shard seeding would otherwise grant each shard its own budget and
@@ -295,8 +373,10 @@ def _gather_candidates_sharded(cat: np.ndarray, off: np.ndarray,
     acfg = config.align
     parts = []
     sids = []
+    if cat_j is None:
+        cat_j = _device_cat(cat)
     for si, sh in enumerate(sidx.shards):
-        c = _seed_rows(cat, off, sh.ref, sh.sidx, config, backend)
+        c = _seed_rows(cat, off, sh.ref, sh.sidx, config, backend, cat_j)
         parts.append(c)
         sids.append(np.full(len(c), si, np.int32))
     cands = Cands.concat(parts)
@@ -305,7 +385,8 @@ def _gather_candidates_sharded(cat: np.ndarray, off: np.ndarray,
     if n == 0:
         return _empty_cand_aln()
     # top max_candidates per (read, strand) by seed count (stable ties)
-    ordr = np.lexsort((np.arange(n), -cands.cnt, cands.srev, cands.ridx))
+    ordr = np.lexsort((np.arange(n), -cands.wcnt, cands.srev,
+                       cands.ridx))
     key = cands.ridx[ordr] * 2 + cands.srev[ordr]
     new_grp = np.ones(n, bool)
     new_grp[1:] = key[1:] != key[:-1]
@@ -315,6 +396,16 @@ def _gather_candidates_sharded(cat: np.ndarray, off: np.ndarray,
     keep = np.zeros(n, bool)
     keep[ordr] = rank < acfg.max_candidates
     cands, sid = cands.take(np.flatnonzero(keep)), sid[keep]
+    # near-diagonal merge must stay within one shard (extension windows
+    # are shard-local); merging per shard keeps that invariant
+    parts2, sids2 = [], []
+    for si in np.unique(sid):
+        rows = np.flatnonzero(sid == si)
+        m = _merge_near_diagonal(cands.take(rows), config)
+        parts2.append(m)
+        sids2.append(np.full(len(m), si, np.int32))
+    cands = Cands.concat(parts2)
+    sid = (np.concatenate(sids2) if sids2 else np.zeros(0, np.int32))
     ck = _chain_filter_mask(cands, np.diff(off), config)
     cands, sid = cands.take(np.flatnonzero(ck)), sid[ck]
     out = []
@@ -323,10 +414,90 @@ def _gather_candidates_sharded(cat: np.ndarray, off: np.ndarray,
         if not len(rows):
             continue
         a = _extend_rows(cands.take(rows), cat, off, sh.ref, sh.sidx,
-                         config, backend)
+                         config, backend, cat_j)
         a.chrom_idx = a.chrom_idx + sh.contig_base
         out.append(a)
     return CandAln.concat(out)
+
+
+def _merge_near_diagonal(cands: Cands, config: PipelineConfig) -> Cands:
+    """Merge candidate bands of the SAME (read, strand) whose diagonals
+    sit close enough that one banded extension bridges them.
+
+    bwa extends a single chain across gaps cheaper than its z-drop
+    (-d 200 in the reference invocation); with the seeding kill zone
+    narrowed to the exact selection window (ops/seed.py), a read with a
+    65-96 bp indel produces TWO adjacent-diagonal candidates that must
+    become ONE bridged alignment to match that behavior.  Greedy
+    chain-grouping over diagonal-sorted candidates (adjacent diagonal
+    gap <= band_w * 1.5 ~ the z-drop gap threshold AND query spans
+    adjacent/overlapping within the same bound — query-disjoint
+    segments with coincidentally close diagonals stay separate); a
+    group only merges when
+    every member's diagonal stays within the extension band of the
+    count-weighted mean anchor (<= band_w - 8, leaving slack for
+    alignment wander) -- otherwise a light member would fall outside
+    the merged band and be lost entirely.  Merged candidates take the
+    summed count and the unioned query span; rows keep (read, strand,
+    diagonal)-sorted order."""
+    n = len(cands)
+    if n <= 1:
+        return cands
+    band_w = config.align.band_width // 2
+    gap_lim = band_w + band_w // 2
+    dev_lim = band_w - 8
+    ordr = np.lexsort((cands.dga, cands.srev, cands.ridx))
+    r_s = cands.ridx[ordr]
+    v_s = cands.srev[ordr]
+    d_s = cands.dga[ordr]
+    c_s = cands.cnt[ordr]
+    w_s = cands.wcnt[ordr]
+    mn_s = cands.qmn[ordr]
+    mx_s = cands.qmx[ordr]
+    brk = np.ones(n, bool)
+    # a genuine indel continuation is query-CONTIGUOUS: a deletion has
+    # ~zero query gap and an insertion's query gap equals its diagonal
+    # shift (<= gap_lim) — two query-DISJOINT segments whose diagonals
+    # happen to sit close (repeat-copy geometry) must NOT merge
+    # (found by tests/test_repetitive_recall.py at 5 copies)
+    qgap = np.maximum(mn_s[1:], mn_s[:-1]) - np.minimum(mx_s[1:],
+                                                        mx_s[:-1])
+    brk[1:] = ((r_s[1:] != r_s[:-1]) | (v_s[1:] != v_s[:-1])
+               | (d_s[1:] - d_s[:-1] > gap_lim) | (qgap > gap_lim))
+    gid = np.cumsum(brk) - 1
+    ng = int(gid[-1]) + 1
+    gcnt = np.bincount(gid, minlength=ng)
+    if int(gcnt.max()) <= 1:
+        return cands
+    csum = np.bincount(gid, weights=c_s.astype(np.float64), minlength=ng)
+    wsum = np.bincount(gid, weights=w_s.astype(np.float64), minlength=ng)
+    dmean = (np.bincount(gid, weights=(d_s * c_s).astype(np.float64),
+                         minlength=ng)
+             / np.maximum(csum, 1)).astype(np.int64)
+    dev_ok = np.ones(ng, bool)
+    np.logical_and.at(dev_ok, gid, np.abs(d_s - dmean[gid]) <= dev_lim)
+    do_merge = (gcnt > 1) & dev_ok
+    if not np.any(do_merge):
+        return cands
+    gmn = np.full(ng, np.int64(2 ** 62))
+    np.minimum.at(gmn, gid, mn_s)
+    gmx = np.full(ng, -np.int64(2 ** 62))
+    np.maximum.at(gmx, gid, mx_s)
+    # keep all rows of non-merging groups + the first row of each
+    # merging group (replaced by the merged candidate, in place)
+    keep = (~do_merge[gid]) | brk
+    idxs = np.flatnonzero(keep)
+    g_of = gid[idxs]
+    rep = brk[idxs] & do_merge[g_of]
+    return Cands(
+        ridx=r_s[idxs],
+        srev=v_s[idxs],
+        dga=np.where(rep, dmean[g_of], d_s[idxs]),
+        cnt=np.where(rep, csum[g_of].astype(np.int64), c_s[idxs]),
+        qmn=np.where(rep, gmn[g_of], mn_s[idxs]),
+        qmx=np.where(rep, gmx[g_of], mx_s[idxs]),
+        wcnt=np.where(rep, wsum[g_of].astype(np.int64), w_s[idxs]),
+    )
 
 
 def _chain_filter(cands: Cands, rlens: np.ndarray,
@@ -339,6 +510,12 @@ def _chain_filter(cands: Cands, rlens: np.ndarray,
 
 def _chain_filter_mask(cands: Cands, rlens: np.ndarray,
                        config: PipelineConfig):
+    with _sub('chain'):
+        return _chain_filter_mask_inner(cands, rlens, config)
+
+
+def _chain_filter_mask_inner(cands: Cands, rlens: np.ndarray,
+                             config: PipelineConfig):
     """bwa mem chain filtering (mem_chain_flt semantics; reference invokes
     bwa with -D 0.25, /root/reference/fslr/main.py:125): candidate bands of
     a read are visited in seed-count order; a band is dropped when its
@@ -358,14 +535,17 @@ def _chain_filter_mask(cands: Cands, rlens: np.ndarray,
     L = rlens[cands.ridx]
     lo_a = np.where(cands.srev, L - cands.qmx, cands.qmn)
     hi_a = np.where(cands.srev, L - cands.qmn, cands.qmx)
-    ordr = np.lexsort((np.arange(n), -cands.cnt, cands.ridx))
+    # shadowing compares the occ-sampling-corrected weights: raw counts
+    # undercount sampled repeat segments by ~occ/C and true repeat
+    # anchors lost extension to unique chains (50-copy recall)
+    ordr = np.lexsort((np.arange(n), -cands.wcnt, cands.ridx))
     rs = cands.ridx[ordr]
     gb = np.ones(n, bool)
     gb[1:] = rs[1:] != rs[:-1]
     gstart_pos = np.flatnonzero(gb)
     sizes = np.diff(np.concatenate([gstart_pos, [n]]))
     rank = np.arange(n) - np.repeat(gstart_pos, sizes)
-    cnt_s = cands.cnt[ordr]
+    cnt_s = cands.wcnt[ordr]
     lo_s = lo_a[ordr]
     hi_s = hi_a[ordr]
     span_s = np.maximum(hi_s - lo_s, 1)
@@ -396,22 +576,58 @@ def _chain_filter_mask(cands: Cands, rlens: np.ndarray,
 
 
 
-def _seed_kernel(reads, lens, counts, positions, k, stride, occ_drop,
-                 band_w, max_cand, S, C):
-    """Positional adapter over ops/seed.seed_candidates for dp_call."""
-    return seed.seed_candidates(reads, lens, counts, positions, k=k,
-                                stride=stride, occ_drop=occ_drop,
-                                band_w=band_w, max_cand=max_cand, S=S, C=C)
+_SEED_KEYS = ('valid', 'count', 'diag', 'qmin', 'qmax', 'wsum')
 
 
-def _seed_kernel_tab(reads, lens, table, k, stride, occ_drop,
-                     band_w, max_cand, S, C):
-    """Packed-seed-table variant (one row gather instead of three scalar
-    gathers; index/reference.packed_seed_table)."""
-    return seed.seed_candidates(reads, lens, None, None, k=k,
-                                stride=stride, occ_drop=occ_drop,
-                                band_w=band_w, max_cand=max_cand, S=S, C=C,
-                                table=table)
+def _seed_pack(res, step, C):
+    """(6, 2*step, C) -> batch-major (step, 6, 2, C) so dp_call can shard
+    rows; the host fetch restores the historical (6, 2*step, C) layout
+    (fwd rows then rc rows) so candidate enumeration order is unchanged."""
+    packed = jnp.stack([res[kk].astype(jnp.int32) for kk in _SEED_KEYS])
+    return packed.reshape(len(_SEED_KEYS), 2, step, C) \
+        .transpose(2, 0, 1, 3)
+
+
+def _seed_rows_build(cat32, starts, lf, L):
+    """Device assembly of the (2*step, L) strand rows from the
+    device-resident word-packed codes (fwd rows then rc rows; identical
+    math to the host memcpy it replaces — rc[j] = comp(cat[s+lf-1-j]));
+    int32 word gathers, not per-element uint8 gathers."""
+    L4 = ((L + 3) // 4) * 4
+    j = jnp.arange(L4, dtype=jnp.int32)[None, :]
+    lw = jnp.minimum(lf, L)
+    fv = banded.gather_stream(cat32, starts, L4)
+    fwd = jnp.where(j < lw[:, None], fv, 4)
+    # rc row j = comp(cat[s+lf-1-j]) = comp(reverse of stream from s+lf-L4)
+    rvs = banded.gather_stream(cat32, starts + lf - L4, L4)[:, ::-1]
+    rc = jnp.where(j < lw[:, None],
+                   jnp.where(rvs < 4, 3 - rvs, rvs), 4)
+    arr = jnp.concatenate([fwd, rc], axis=0)[:, :L].astype(jnp.uint8)
+    lens2 = jnp.concatenate([lw, lw]).astype(jnp.int32)
+    return arr, lens2
+
+
+def _seed_kernel(starts, lf, cat, counts, positions, k, stride, occ_drop,
+                 band_w, max_cand, S, C, L):
+    """Counts/positions-path seeding with device row assembly."""
+    step = starts.shape[0]
+    arr, lens2 = _seed_rows_build(cat, starts, lf, L)
+    res = seed.seed_candidates(arr, lens2, counts, positions, k=k,
+                               stride=stride, occ_drop=occ_drop,
+                               band_w=band_w, max_cand=max_cand, S=S, C=C)
+    return _seed_pack(res, step, max_cand)
+
+
+def _seed_kernel_tab(starts, lf, cat, table, k, stride, occ_drop,
+                     band_w, max_cand, S, C, L):
+    """Packed-seed-table seeding with device row assembly."""
+    step = starts.shape[0]
+    arr, lens2 = _seed_rows_build(cat, starts, lf, L)
+    res = seed.seed_candidates(arr, lens2, None, None, k=k,
+                               stride=stride, occ_drop=occ_drop,
+                               band_w=band_w, max_cand=max_cand, S=S, C=C,
+                               table=table)
+    return _seed_pack(res, step, max_cand)
 
 
 # Largest occurrence cap for which the packed seed table is used: HBM is
@@ -420,28 +636,85 @@ def _seed_kernel_tab(reads, lens, table, k, stride, occ_drop,
 _MAX_TABLE_C = 8
 
 
-def _device_table(sidx: SeedIndex, C: int):
+def _build_table_device(counts, positions, C: int):
+    """Device-side packed seed table build (semantics of
+    index/reference.packed_seed_table, same integer math): the host
+    build + 80 MB upload cost ~2 s PER PIPELINE RUN over the tunnelled
+    TPU link (the round-4 1k-headline regression); counts/positions are
+    already device-resident for the legacy path, so building the table
+    from them on device moves zero extra bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=('C',))
+    def build(counts, positions, *, C):
+        occ = counts[1:] - counts[:-1]
+        starts = counts[:-1]
+        n = occ.shape[0]
+        use = jnp.minimum(occ, C)
+        step = jnp.maximum(occ // C, 1)
+        phase = ((jnp.arange(n, dtype=jnp.uint32)
+                  * jnp.uint32(2654435761))
+                 >> jnp.uint32(20)).astype(jnp.int32) % step
+        ci = jnp.arange(C, dtype=jnp.int32)[None, :]
+        # exact int32-safe (ci*occ)//C: occ = q*C + r ->
+        # (ci*occ)//C = ci*q + (ci*r)//C   (ci*r < C*C, never overflows)
+        q_, r_ = occ[:, None] // C, occ[:, None] % C
+        big = ci * q_ + (ci * r_) // C + phase[:, None]
+        idx = starts[:, None] + jnp.where(occ[:, None] > C, big, ci)
+        gmax = jnp.int32(max(int(positions.shape[0]) - 1, 0))
+        v = jnp.take(positions, jnp.minimum(idx, gmax))
+        cols = jnp.where(ci < use[:, None], v, 0)
+        return jnp.concatenate([occ[:, None], cols], axis=1)
+
+    return build(counts, positions, C=C)
+
+
+def _device_table(sidx: SeedIndex, C: int, counts_j, pos_j):
     mesh = dispatch.active_mesh()
     cached_mesh, cached, cached_c = getattr(sidx, '_dev_tab',
                                             (None, None, -1))
     if cached is None or cached_mesh is not mesh or cached_c != C:
-        import jax
-        import jax.numpy as jnp
-        tab = refmod_packed_seed_table(sidx, C)
-        if mesh is not None and mesh.devices.size > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            cached = jax.device_put(tab, NamedSharding(mesh, P()))
-        else:
-            cached = jnp.asarray(tab)
-        sidx._dev_tab = (mesh, cached, C)
+        with _sub('upload.seedtab'):
+            cached = _build_table_device(counts_j, pos_j, C)
+            sidx._dev_tab = (mesh, cached, C)
     return cached
 
 
-def _extend_kernel(q, qlens, ws, cmin, cmax, genome, scoring, backend):
-    """banded_extend adapter: its packed result is (6, N) — batch-minor —
-    so transpose to batch-major for the sharded dispatch; the call site
-    transposes back."""
+@functools.partial(jax.jit, static_argnames=('SL',))
+def _gather_q_impl(cat32, sf, er, srev, qlens, *, SL):
+    """Build (N, SL) query-slice rows on device from the device-resident
+    word-packed read codes: fwd row j = cat[sf + j]; rc row j =
+    comp(cat[er - 1 - j]) (identical math to the host memcpy assembly it
+    replaces).  Uploading assembled slices cost ~230 MB per 10k reads
+    over the TPU tunnel — ~10x the one-time cat upload; int32 word
+    gathers are ~4-8x faster than per-element uint8 gathers on TPU."""
+    j = jnp.arange(SL, dtype=jnp.int32)[None, :]
+    fwd = banded.gather_stream(cat32, sf, SL)
+    # rc row = comp(reverse of cat[er-SL .. er-1]); garbage beyond the
+    # read is masked by qlens below (j < qlens => er-1-j >= read start)
+    rcs = banded.gather_stream(cat32, er - SL, SL)[:, ::-1]
+    rc = jnp.where(rcs < 4, 3 - rcs, rcs)
+    v = jnp.where(srev[:, None], rc, fwd)
+    return jnp.where(j < qlens[:, None], v, 4).astype(jnp.uint8)
+
+
+def _score_kernel(sf, er, srev, qlens, ws, cmin, cmax, cat, genome, SL,
+                  scoring, backend):
+    """Device q-slice gather + banded_extend_score; batch-major (N, 5)
+    result for the sharded dispatch (call site transposes back)."""
+    q = _gather_q_impl(cat, sf, er, srev, qlens, SL=SL)
+    packed = banded.banded_extend_score(q, qlens, ws, cmin, cmax, genome,
+                                        scoring, backend)
+    return packed.T
+
+
+def _emit_kernel(sf, er, srev, qlens, ws, cmin, cmax, cat, genome, SL,
+                 scoring, backend):
+    """Device q-slice gather + traceback-emit extension (selection
+    winners only), batch-major for dispatch."""
     from fslr_tpu.ops import traceback as tbmod
+    q = _gather_q_impl(cat, sf, er, srev, qlens, SL=SL)
     packed, emits = tbmod.banded_extend(q, qlens, ws, cmin, cmax, genome,
                                         scoring, backend)
     return packed.T, emits
@@ -473,20 +746,22 @@ def _occ_cap(sidx: SeedIndex, acfg) -> int:
 
 def _seed_rows(cat: np.ndarray, off: np.ndarray, ref: Reference,
                sidx: SeedIndex, config: PipelineConfig,
-               backend: str | None = None) -> Cands:
+               backend: str | None = None, cat_j=None) -> Cands:
     """Device seeding of both strands -> candidate diagonal bands.
 
     ``cat``/``off`` are the concatenated read codes + offsets
-    (encode.encode_cat); batch rows are assembled with strided gathers
-    over ``cat`` — per-row Python fills cost ~1 s per 10k reads
-    (round-2 verdict item 3)."""
-    import jax.numpy as jnp
+    (encode.encode_cat); ``cat_j`` the device-resident copy.  Batch rows
+    are assembled ON DEVICE (_seed_rows_build) from per-read (start,
+    length) vectors — the only per-batch upload is a few int32 per read."""
     acfg = config.align
     k = acfg.seed_k
     _, counts_j, pos_j = _device_arrays(ref, sidx)
     occ_cap = _occ_cap(sidx, acfg)
-    use_tab = occ_cap <= _MAX_TABLE_C
-    tab_j = _device_table(sidx, occ_cap) if use_tab else None
+    use_tab = occ_cap <= _MAX_TABLE_C and sidx.positions.size > 0
+    tab_j = (_device_table(sidx, occ_cap, counts_j, pos_j)
+             if use_tab else None)
+    if cat_j is None:
+        cat_j = _device_cat(cat)
 
     n_reads = len(off) - 1
     rlens = np.diff(off)
@@ -503,49 +778,32 @@ def _seed_rows(cat: np.ndarray, off: np.ndarray, ref: Reference,
     col_c: list = []
     col_mn: list = []
     col_mx: list = []
-    _KEYS = ('valid', 'count', 'diag', 'qmin', 'qmax')
-    seed_pending = []     # (part, step, nb, packed-device-array)
-    ar_cache: dict[int, np.ndarray] = {}
+    col_w: list = []
+    seed_pending = []     # (part, step, nb, device (step, 5, 2, C))
     for L, idxs in sorted(buckets.items()):
         S = max(1, (L - k) // acfg.seed_stride + 1)
         step = max(1, min(config.batch.batch_size,
                           (1 << 23) // max(S * occ_cap, 1)))
-        ar = ar_cache.setdefault(L, np.arange(L, dtype=np.int64))
         for o in range(0, len(idxs), step):
             part = np.asarray(idxs[o:o + step], np.int64)
             nb = len(part)
-            lf = rlens[part]
-            lw = np.minimum(lf, L)
-            arr = np.full((2 * step, L), 4, dtype=np.uint8)
-            lens = np.zeros(2 * step, dtype=np.int32)
-            # rows are contiguous slices of cat (fwd) / reversed
-            # complemented slices (rc) — per-row memcpy beats the 2-D
-            # fancy gather ~10x (see filter_junk._batch_rows)
-            st_l = off[part].tolist()
-            lw_l = lw.tolist()
-            lf_l = lf.tolist()
-            for r in range(nb):
-                s, w = st_l[r], lw_l[r]
-                arr[r, :w] = cat[s:s + w]
-            for r in range(nb):
-                s, w, lfr = st_l[r], lw_l[r], lf_l[r]
-                # rc[j] = comp(fwd[len-1-j]): last w bases when truncated
-                arr[step + r, :w] = _COMP[cat[s + lfr - w:s + lfr]][::-1]
-            lens[:nb] = lw
-            lens[step:step + nb] = lw
+            with _sub('seed.asm'):
+                starts = np.zeros(step, np.int32)
+                lf = np.zeros(step, np.int32)
+                starts[:nb] = off[part]
+                lf[:nb] = rlens[part]
             statics = (k, acfg.seed_stride, acfg.occ_drop,
                        acfg.band_width // 2,
-                       acfg.max_candidates, S, occ_cap)
-            if use_tab:
-                res = dispatch.dp_call(
-                    _seed_kernel_tab, (jnp.asarray(arr), jnp.asarray(lens)),
-                    (tab_j,), statics=statics)
-            else:
-                res = dispatch.dp_call(
-                    _seed_kernel, (jnp.asarray(arr), jnp.asarray(lens)),
-                    (counts_j, pos_j), statics=statics)
-            # pack to ONE device array -> one host fetch per batch
-            packed = jnp.stack([res[kk].astype(jnp.int32) for kk in _KEYS])
+                       acfg.max_candidates, S, occ_cap, L)
+            with _sub('seed.disp'):
+                if use_tab:
+                    packed = dispatch.dp_call(
+                        _seed_kernel_tab, (starts, lf),
+                        (cat_j, tab_j), statics=statics)
+                else:
+                    packed = dispatch.dp_call(
+                        _seed_kernel, (starts, lf),
+                        (cat_j, counts_j, pos_j), statics=statics)
             # hit construction + diagonal sort + max_cand peel rounds all
             # scale with the (2 strands x batch x S x C) hit array
             instrument.add_cells(2 * nb * S * occ_cap, 'seed')
@@ -553,15 +811,22 @@ def _seed_rows(cat: np.ndarray, off: np.ndarray, ref: Reference,
 
     # ONE device->host transfer for all seed batches (the TPU tunnel has
     # ~1 s/fetch latency; per-batch fetches dominated the align stage)
-    flats = np.asarray(jnp.concatenate(
-        [p.reshape(-1) for (_, _, _, p) in seed_pending])) \
-        if seed_pending else np.zeros(0, np.int32)
+    import jax.numpy as jnp
+    with _sub('seed.fetch'):
+        flats = np.asarray(jnp.concatenate(
+            [p.reshape(-1) for (_, _, _, p) in seed_pending])) \
+            if seed_pending else np.zeros(0, np.int32)
     fo = 0
+    _t_post = _sub('seed.post'); _t_post.__enter__()
     for part, step, nb, packed in seed_pending:
         size = int(np.prod(packed.shape))
-        p = flats[fo:fo + size].reshape(packed.shape)
+        # restore the historical (6, 2*step, C) layout: fwd rows of this
+        # part first, then rc rows (candidate enumeration order unchanged)
+        C4 = packed.shape[3]
+        p = flats[fo:fo + size].reshape(packed.shape) \
+            .transpose(1, 2, 0, 3).reshape(len(_SEED_KEYS), 2 * step, C4)
         fo += size
-        valid_a, count_a, diag_a, qmin_a, qmax_a = p
+        valid_a, count_a, diag_a, qmin_a, qmax_a, wsum_a = p
         # vectorized candidate filter; np.nonzero's row-major order equals
         # the reference iteration (fwd rows of this part, then rc rows)
         ridx_row = np.full(2 * step, -1, np.int64)
@@ -579,17 +844,19 @@ def _seed_rows(cat: np.ndarray, off: np.ndarray, ref: Reference,
         col_c.append(count_a[rr, cc].astype(np.int64))
         col_mn.append(qmin_a[rr, cc].astype(np.int64))
         col_mx.append(qmax_a[rr, cc].astype(np.int64))
+        col_w.append(wsum_a[rr, cc].astype(np.int64))
+    _t_post.__exit__(None, None, None)
     if not col_r:
         return _empty_cands()
     return Cands(np.concatenate(col_r), np.concatenate(col_s),
                  np.concatenate(col_d), np.concatenate(col_c),
-                 np.concatenate(col_mn), np.concatenate(col_mx))
-
+                 np.concatenate(col_mn), np.concatenate(col_mx),
+                 np.concatenate(col_w))
 
 
 def _extend_rows(cands: Cands, cat: np.ndarray, off: np.ndarray,
                  ref: Reference, sidx: SeedIndex, config: PipelineConfig,
-                 backend: str | None = None) -> CandAln:
+                 backend: str | None = None, cat_j=None) -> CandAln:
     acfg = config.align
     genome_j, _, _ = _device_arrays(ref, sidx)
     contig_starts = ref.offsets[:-1]
@@ -597,16 +864,18 @@ def _extend_rows(cands: Cands, cat: np.ndarray, off: np.ndarray,
     n = len(cands)
     if n == 0:
         return _empty_cand_aln()
+    if cat_j is None:
+        cat_j = _device_cat(cat)
 
-    # ---- extension: ONE traceback-kernel pass per candidate -----------
+    # ---- extension: score-only forward+reverse pass per candidate -----
     # Each candidate extends only the seed-supported query slice
     # [qmin - margin, qmax + margin) (split segments don't pay for the
-    # whole read), and begins + CIGARs come from the traceback walk — no
-    # reverse pass, no separate CIGAR pass.  All batch assembly is
-    # vectorized: query windows are strided gathers over the concatenated
-    # read codes (forward or reverse-complement via index direction).
-    from fslr_tpu.ops import traceback as tbmod
-
+    # whole read).  Scores, ends AND begins come from the two score-only
+    # banded passes (ops/banded.banded_extend_score, ~50 Gcells/s) -- the
+    # ~17x slower traceback-emit kernel runs later, on selection winners
+    # only (_emit_selected).  All batch assembly is vectorized: query
+    # windows are contiguous (or reverse-complemented) slices of the
+    # concatenated read codes, filled with per-row memcpy.
     margin = acfg.extension_margin
     Lq = np.diff(off)[cands.ridx]
     qlo = np.maximum(0, cands.qmn - margin)
@@ -625,65 +894,51 @@ def _extend_rows(cands: Cands, cat: np.ndarray, off: np.ndarray,
 
     # Phase A: dispatch every chunk (windows gathered on device from the
     # device-resident genome; results stay on device).  Phase B: fetch ALL
-    # chunks' results in TWO transfers (one int32 concat, one uint8
-    # concat) — per-chunk fetches cost ~1 s each over the TPU tunnel and
-    # dominated this stage.
-    pending = []      # (chunk idx array, device packed, chunk id)
-    emit_bufs: list = []
+    # chunks' packed results in ONE transfer -- per-chunk fetches cost
+    # ~1 s each over the TPU tunnel and dominated this stage.
+    pending = []      # (chunk idx array, device packed, kernel qlens)
     for SL in np.unique(sl_of):
         cidxs = np.flatnonzero(sl_of == SL)
         SL = int(SL)
-        # chunk rows so device-resident traceback bits stay bounded
-        # (~SL*16 int32 per row; bits never leave the device)
-        rows_per = max(128, min(8192, (1 << 28) // max(SL * 64, 1)))
+        rows_per = max(128, min(8192, (1 << 28) // max(SL * 16, 1)))
         for o in range(0, len(cidxs), rows_per):
             chunk = cidxs[o:o + rows_per]
             ri = cands.ridx[chunk]
             sv = cands.srev[chunk]
             ql = qlo[chunk]
             qlens = np.minimum(qlens_all[chunk], SL).astype(np.int32)
-            # fwd rows read cat[off+qlo+j]; rc rows read the read's
-            # reverse complement: rc[qlo+j] = comp(fwd[L-1-qlo-j]).
-            # Every row is a contiguous (or reversed) slice of cat —
-            # per-row memcpy, not a 2-D fancy gather.
-            start_f = (off[ri] + ql).tolist()
-            # rc row j spans cat[L-1-ql-(w-1) .. L-1-ql] reversed
-            end_r = (off[ri] + (Lq[chunk] - ql)).tolist()
-            sv_l = sv.tolist()
-            w_l = qlens.tolist()
-            q = np.full((len(chunk), SL), 4, dtype=np.uint8)
-            for r in range(len(chunk)):
-                w = w_l[r]
-                if sv_l[r]:
-                    e = end_r[r]
-                    q[r, :w] = _COMP[cat[e - w:e]][::-1]
-                else:
-                    s = start_f[r]
-                    q[r, :w] = cat[s:s + w]
-            packed_t, emits = dispatch.dp_call(
-                _extend_kernel,
-                (q, qlens, ws_all[chunk], cmin_all[chunk],
-                 cmax_all[chunk]),
-                (genome_j,), statics=(acfg.scoring, backend))
-            instrument.add_cells(int(qlens.sum(dtype=np.int64))
+            # fwd rows read cat[sf+j]; rc rows read the read's reverse
+            # complement: rc[qlo+j] = comp(cat[er-1-j]).  Rows are
+            # gathered ON DEVICE from the resident codes (_gather_q_impl)
+            # -- only these int32 vectors ever cross the link.
+            with _sub('ext.asm'):
+                sf = (off[ri] + ql).astype(np.int32)
+                er = (off[ri] + (Lq[chunk] - ql)).astype(np.int32)
+            with _sub('ext.disp'):
+                packed_t = dispatch.dp_call(
+                    _score_kernel,
+                    (sf, er, sv, qlens, ws_all[chunk].astype(np.int32),
+                     cmin_all[chunk].astype(np.int32),
+                     cmax_all[chunk].astype(np.int32)),
+                    (cat_j, genome_j),
+                    statics=(SL, acfg.scoring, backend))
+            # forward + reverse pass
+            instrument.add_cells(2 * int(qlens.sum(dtype=np.int64))
                                  * banded.BW, 'extend')
-            pending.append((chunk, packed_t.T, len(emit_bufs)))
-            emit_bufs.append(emits)
+            pending.append((chunk, packed_t.T, qlens))
 
-    # Fetch ONLY the packed score columns here (6 int32/row); emit streams
-    # stay device-resident — selection drops most candidates, so the
-    # selected rows are device-gathered and fetched afterwards in one
-    # transfer (_fetch_selected_emits).
     import jax.numpy as jnp
-    all_p = np.asarray(jnp.concatenate(
-        [p.reshape(-1) for (_, p, _) in pending]))
+    with _sub('ext.fetch'):
+        all_p = np.asarray(jnp.concatenate(
+            [p.reshape(-1) for (_, p, _) in pending]))
     po = 0
     parts = []
-    for chunk, packed, buf_id in pending:
+    _t_post = _sub('ext.post'); _t_post.__enter__()
+    for chunk, packed, kq in pending:
         psz = int(np.prod(packed.shape))
         p_np = all_p[po:po + psz].reshape(packed.shape)
         po += psz
-        score, qend, lane, qstart_c, l_fin = tbmod.finalize_scores(p_np)
+        score, qend, lane, qstart_c, l_fin = p_np
         keep = np.flatnonzero(score > 0)
         if not len(keep):
             continue
@@ -707,15 +962,21 @@ def _extend_rows(cands: Cands, cat: np.ndarray, off: np.ndarray,
             qend_o=qlo[ck] + qe + 1,
             qlen=Lq[ck],
             score=sc,
-            emit_buf=np.full(len(ck), buf_id, np.int32),
-            emit_row=keep.astype(np.int32),
-            emit_bufs=[]))
+            ext_ws=ws_all[ck],
+            ext_qlo=qlo[ck],
+            ext_qlen=kq[keep].astype(np.int32),
+            ext_sl=np.full(len(ck), sl_of[ck[0]], np.int32),
+            ext_cmin=cmin_all[ck],
+            ext_cmax=cmax_all[ck],
+            src=np.zeros(len(ck), np.int32),
+            genomes=[]))
+    _t_post.__exit__(None, None, None)
     if not parts:
         return _empty_cand_aln()
     out_cols = {c: np.concatenate([getattr(p, c) for p in parts])
                 for c in CandAln._COLS}
-    return CandAln(*(out_cols[c] for c in CandAln._COLS), emit_bufs)
-
+    return CandAln(*(out_cols[c] for c in CandAln._COLS),
+                   [(genome_j, ref.codes)])
 
 
 def _empty_alignments() -> Alignments:
@@ -726,13 +987,18 @@ def _empty_alignments() -> Alignments:
 
 def _select_and_finalize(ca: CandAln, ref: Reference,
                          config: PipelineConfig,
-                         regions_path: str | None) -> Alignments:
+                         regions_path: str | None,
+                         cat: np.ndarray | None = None,
+                         off: np.ndarray | None = None,
+                         backend: str | None = None,
+                         cat_j=None) -> Alignments:
     acfg = config.align
     regions = _build_regions(regions_path, ref.names)
     if len(ca) == 0:
         return _empty_alignments()
 
     # ---- dedup identical alignments (keep first occurrence, in order) --
+    _t_prep = _sub('sel.prep'); _t_prep.__enter__()
     packed = np.empty((len(ca), 7), np.int64)
     for c, col in enumerate(('read_idx', 'strand_rev', 'chrom_idx',
                              'rstart', 'rend', 'qstart_o', 'qend_o')):
@@ -795,15 +1061,27 @@ def _select_and_finalize(ca: CandAln, ref: Reference,
     # bias of all-ones is numerically identical to bias=None (score * 1.0
     # in float32 is exact), so the kernel signature stays fixed for the
     # sharded dispatch
-    chosen = np.asarray(dispatch.dp_call(
-        _select_kernel, (qs, qe, sc, vmask, bias),
-        statics=(acfg.ol_cost, acfg.max_overlap,
-                 acfg.min_selected_score)))
+    _t_prep.__exit__(None, None, None)
+    with _sub('sel.call'):
+        chosen = np.asarray(dispatch.dp_call(
+            _select_kernel, (qs, qe, sc, vmask, bias),
+            statics=(acfg.ol_cost, acfg.max_overlap,
+                     acfg.min_selected_score)))
     sel_mask = np.zeros(n, bool)
     sel_mask[val] = chosen[bb, cc]
     sel_idx = np.flatnonzero(sel_mask)
     n_sel = len(sel_idx)
-    cig_rle = _fetch_selected_emits(ca, sel_idx)
+    if config.exact_cigars and cat is not None:
+        cig_rle, coord_over = _emit_selected(ca, sel_idx, cat, off,
+                                             config, backend, cat_j)
+    else:
+        cig_rle, coord_over = _no_emits(n_sel), None
+    if coord_over is not None:
+        # walk-derived begins replace the reverse-pass begins so CIGARs
+        # and coordinates always describe the SAME co-optimal path
+        qs_new, rs_new = coord_over
+        ca.qstart_o[sel_idx] = qs_new
+        ca.rstart[sel_idx] = rs_new
 
     out = Alignments(
         read_idx=ca.read_idx[sel_idx].astype(np.int32),
@@ -820,6 +1098,7 @@ def _select_and_finalize(ca: CandAln, ref: Reference,
         overlaps_region=ov_any[sel_idx],
         cig_rle=cig_rle,
     )
+    _t_fin = _sub('fin.post'); _t_fin.__enter__()
     # primary = first max-score alignment per read (argmax tie semantics):
     # stable grouped sort instead of a per-read boolean mask (that scan is
     # O(reads x selected) — quadratic at 10k+ reads)
@@ -881,6 +1160,9 @@ def _select_and_finalize(ca: CandAln, ref: Reference,
         mq = np.where(sub_n > 0, mq - pen, mq)
         mq = np.where((s1 <= 0) | (sub >= s1), 0, mq)
         out.mapq[:] = np.clip(mq, 0, 60)
+    out = _zdrop_split_rows(out, ca, sel_idx, regions, ref, config, cat,
+                            off)
+    _t_fin.__exit__(None, None, None)
     return out
 
 
@@ -910,47 +1192,265 @@ def _bwa_style_mapq(s1: int, s2: int, qspan: int, rspan: int,
     return int(min(60, max(0, mapq)))
 
 
-def _fetch_selected_emits(ca: CandAln, sel_idx: np.ndarray):
-    """Decode CIGARs for selected alignments only: device-gather their
-    rows from the (still device-resident) 2-bit emit buffers and fetch
-    everything in ONE transfer — unselected candidates' emit streams never
-    cross the TPU link.  Returns the COLUMNAR RLE form
-    (has, cnt, flat_len, flat_op) in selected order — op codes 0/1/2 =
-    M/I/D, has=False where no emit stream exists (fallback rows).  The
-    per-record Python op lists this used to build were ~25 s of the
-    1M-read run; list consumers derive them via Alignments.cigar_lists."""
+def _zdrop_split_rows(out: Alignments, ca: CandAln,
+                      sel_idx: np.ndarray, regions, ref: Reference,
+                      config: PipelineConfig, cat, off) -> Alignments:
+    """bwa z-drop equivalent (reference bwa invocation -d 200,
+    /root/reference/fslr/main.py:125): two true segments whose diagonals
+    sit within one band width fuse into ONE seed candidate, and the
+    banded extension bridges the junction as a giant indel — bwa's
+    z-drop would instead terminate the extension and report two
+    alignments.  Here the split happens at CIGAR level: any selected
+    alignment with an interior indel run whose affine penalty exceeds
+    ``zdrop`` is cut at those runs; each piece's score is replayed on
+    the host from query/reference codes (kernel scoring: +match /
+    -mismatch, N = mismatch, gap run g costs open + ext*g), pieces
+    scoring below the dodi floor (-u 21) are dropped, edge indel runs
+    of a piece are trimmed (a local alignment never starts or ends in
+    a gap), and primary flags are re-derived (max original score per
+    read, collect_mapping_info.py:42-48 semantics).  MAPQ is inherited
+    from the fused parent.  Split rows keep their position in the
+    emission order; non-split rows are untouched."""
+    acfg = config.align
+    zdrop = acfg.zdrop
+    rle = out.cig_rle
+    if not zdrop or rle is None or not len(out) or cat is None:
+        return out
+    has, cnt, flat_len, flat_op = rle
+    if not np.any(has):
+        return out
+    sc = acfg.scoring
+    gap_open = abs(sc.gap_open)
+    gap_ext = abs(sc.gap_extend)
+    # smallest interior gap with penalty open + ext*g > zdrop
+    g_split = (zdrop - gap_open) // gap_ext + 1
+    ends = np.cumsum(cnt)
+    starts = ends - cnt
+    n_rows = len(out)
+    seg_row = np.repeat(np.arange(n_rows), cnt)
+    big = (flat_len >= g_split) & (flat_op != 0)
+    if not np.any(big):
+        return out
+    cand_rows = np.unique(seg_row[big])
+
+    src_sel = ca.src[sel_idx]
+    cmin_sel = ca.ext_cmin[sel_idx]
+    match_s = sc.match
+    mis_s = sc.mismatch              # negative
+
+    keep_seg = np.ones(len(flat_len), bool)
+    pieces_per_row = np.ones(n_rows, np.int64)
+    # per split row: list of piece dicts
+    row_pieces: dict[int, list] = {}
+    for r in cand_rows.tolist():
+        sl = flat_len[starts[r]:ends[r]]
+        so = flat_op[starts[r]:ends[r]]
+        n_seg = len(sl)
+        is_big = (sl >= g_split) & (so != 0)
+        # piece boundaries: maximal runs of segments between big indels
+        bounds = np.flatnonzero(is_big)
+        # record-orientation query codes + source ref codes for replay
+        ri = int(out.read_idx[r])
+        L = int(out.qlen[r])
+        o = off[ri]
+        if out.strand_rev[r]:
+            qrec = _COMP[cat[o:o + L]][::-1]
+        else:
+            qrec = cat[o:o + L]
+        ref_codes = ca.genomes[src_sel[r]][1]
+        rabs0 = int(cmin_sel[r] + out.rstart[r])
+        # cumulative spans to locate each segment
+        qoff = np.zeros(n_seg + 1, np.int64)
+        roff = np.zeros(n_seg + 1, np.int64)
+        dq = np.where(so != 2, sl, 0)        # M, I consume query
+        dr = np.where(so != 1, sl, 0)        # M, D consume reference
+        np.cumsum(dq, out=qoff[1:])
+        np.cumsum(dr, out=roff[1:])
+        q0 = int(out.qstart_o[r])
+        lo = 0
+        plist = []
+        for b in np.append(bounds, n_seg).tolist():
+            hi = b                            # segments [lo, hi)
+            # trim edge indels (local alignments never end in a gap)
+            while lo < hi and so[lo] != 0:
+                lo += 1
+            hi2 = hi
+            while hi2 > lo and so[hi2 - 1] != 0:
+                hi2 -= 1
+            if hi2 > lo:
+                qs = q0 + int(qoff[lo])
+                qe = q0 + int(qoff[hi2])
+                rs = rabs0 + int(roff[lo])
+                re_ = rabs0 + int(roff[hi2])
+                # score replay over this piece's runs
+                score = 0
+                for t in range(lo, hi2):
+                    ln = int(sl[t])
+                    op = int(so[t])
+                    if op == 0:
+                        a = qrec[q0 + int(qoff[t]):q0 + int(qoff[t]) + ln]
+                        bref = ref_codes[rabs0 + int(roff[t]):
+                                         rabs0 + int(roff[t]) + ln]
+                        m = int(np.sum((a == bref) & (a < 4) & (bref < 4)))
+                        score += m * match_s + (ln - m) * mis_s
+                    else:
+                        score -= gap_open + gap_ext * ln
+                if score >= acfg.min_selected_score:
+                    plist.append(dict(lo=lo, hi=hi2, qs=qs, qe=qe,
+                                      rs=rs - int(cmin_sel[r]),
+                                      re=re_ - int(cmin_sel[r]),
+                                      score=int(score)))
+            lo = b + 1
+        # drop segments outside kept pieces
+        seg_keep = np.zeros(n_seg, bool)
+        for p in plist:
+            seg_keep[p['lo']:p['hi']] = True
+        keep_seg[starts[r]:ends[r]] = seg_keep
+        pieces_per_row[r] = len(plist)
+        row_pieces[r] = plist
+
+    # ---- expand rows ---------------------------------------------------
+    rep = np.repeat(np.arange(n_rows), pieces_per_row)
+    new_out = Alignments(
+        read_idx=out.read_idx[rep], chrom_idx=out.chrom_idx[rep],
+        rstart=out.rstart[rep].copy(), rend=out.rend[rep].copy(),
+        strand_rev=out.strand_rev[rep],
+        qstart_o=out.qstart_o[rep].copy(),
+        qend_o=out.qend_o[rep].copy(), qlen=out.qlen[rep],
+        score=out.score[rep].copy(), mapq=out.mapq[rep],
+        is_primary=np.zeros(len(rep), bool),
+        overlaps_region=out.overlaps_region[rep].copy())
+    pos_of = np.concatenate([[0], np.cumsum(pieces_per_row)])[:-1]
+    new_cnt = np.zeros(len(rep), np.int64)
+    new_has = np.zeros(len(rep), bool)
+    # every surviving row's FIRST slot starts from the original cnt/has;
+    # split rows overwrite all their slots below
+    has_slot = pieces_per_row >= 1
+    new_cnt[pos_of[has_slot]] = cnt[has_slot]
+    new_has[pos_of[has_slot]] = has[has_slot]
+    for r, plist in row_pieces.items():
+        for k, p in enumerate(plist):
+            i = pos_of[r] + k
+            new_out.qstart_o[i] = p['qs']
+            new_out.qend_o[i] = p['qe']
+            new_out.rstart[i] = p['rs']
+            new_out.rend[i] = p['re'] - 1     # rend is inclusive
+            new_out.score[i] = p['score']
+            new_cnt[i] = p['hi'] - p['lo']
+            new_has[i] = True
+            if regions:
+                cname = ref.names[int(new_out.chrom_idx[i])]
+                new_out.overlaps_region[i] = _overlaps_region(
+                    regions, cname, p['rs'] + 1, p['re'])
+    new_out.cig_rle = (new_has, new_cnt, flat_len[keep_seg],
+                       flat_op[keep_seg])
+    # primary = first max-score alignment per read (unchanged semantics)
+    n2 = len(new_out)
+    if n2:
+        ordr = np.lexsort((np.arange(n2), -new_out.score,
+                           new_out.read_idx))
+        rid_s = new_out.read_idx[ordr]
+        first_m = np.ones(n2, bool)
+        first_m[1:] = rid_s[1:] != rid_s[:-1]
+        new_out.is_primary[ordr[first_m]] = True
+    return new_out
+
+
+def _no_emits(n: int):
+    return (np.zeros(n, bool), np.zeros(n, np.int64),
+            np.zeros(0, np.int64), np.zeros(0, np.int64))
+
+
+def _emit_selected(ca: CandAln, sel_idx: np.ndarray, cat: np.ndarray,
+                   off: np.ndarray, config: PipelineConfig,
+                   backend: str | None = None, cat_j=None):
+    """Traceback-emit extension over the SELECTED candidates only.
+
+    The score pass (_extend_rows) gave every candidate its score, ends
+    and (reverse-pass) begins; only the ~15% of candidates that win the
+    selection DP ever need a CIGAR, so only they pay the ~17x slower
+    emit kernel + path walk (ops/traceback.banded_extend) -- the same
+    division of labour as bwa, which only tracebacks alignments it will
+    report (/root/reference/fslr/main.py:125 delegates this to bwa).
+
+    Returns (cig_rle, (qstart_o_new, rstart_new)): the columnar RLE form
+    (has, cnt, flat_len, flat_op) in selected order -- op codes 0/1/2 =
+    M/I/D -- plus walk-derived begin coordinates (on co-optimal ties the
+    reverse pass may have picked a different begin than the walk; the
+    emitted records must be self-consistent).
+    """
     from fslr_tpu.ops import traceback as tbmod
+    acfg = config.align
     n = len(sel_idx)
+    if not n or not ca.genomes:
+        return _no_emits(n), None
+    if cat_j is None:
+        cat_j = _device_cat(cat)
     has = np.zeros(n, bool)
     cnt = np.zeros(n, np.int64)
-    empty = (has, cnt, np.zeros(0, np.int64), np.zeros(0, np.int64))
-    if not n or not ca.emit_bufs:
-        return empty
-    bufs = ca.emit_buf[sel_idx]
-    rows = ca.emit_row[sel_idx]
-    need = np.flatnonzero(bufs >= 0)
-    if not len(need):
-        return empty
+    src = ca.src[sel_idx]
+    slb = ca.ext_sl[sel_idx].astype(np.int64)
+    ri = ca.read_idx[sel_idx]
+    sv = ca.strand_rev[sel_idx]
+    qlo = ca.ext_qlo[sel_idx]
+    kq = ca.ext_qlen[sel_idx]
+    Lq = ca.qlen[sel_idx]
+    ws = ca.ext_ws[sel_idx]
+    cmin = ca.ext_cmin[sel_idx]
+    cmax = ca.ext_cmax[sel_idx]
     import jax.numpy as jnp
-    flats = []
-    groups = []          # (positions into the selected order, row width)
-    for bid in np.unique(bufs[need]):
-        g = need[bufs[need] == bid]
-        dev = ca.emit_bufs[bid]
-        flats.append(jnp.take(dev, jnp.asarray(rows[g]), axis=0)
-                     .reshape(-1))
-        groups.append((g, int(dev.shape[1])))
-    flat = np.asarray(jnp.concatenate(flats) if len(flats) > 1
-                      else flats[0])
-    o = 0
+    keys = (src.astype(np.int64) << 32) | slb
+    pending = []
+    for key in np.unique(keys):
+        g = np.flatnonzero(keys == key)
+        s_ = int(key >> 32)
+        SL = int(key & 0xffffffff)
+        with _sub('emit.asm'):
+            sf = (off[ri[g]] + qlo[g]).astype(np.int32)
+            er = (off[ri[g]] + (Lq[g] - qlo[g])).astype(np.int32)
+        with _sub('emit.disp'):
+            packed_t, emits = dispatch.dp_call(
+                _emit_kernel,
+                (sf, er, sv[g], kq[g].astype(np.int32),
+                 ws[g].astype(np.int32), cmin[g].astype(np.int32),
+                 cmax[g].astype(np.int32)),
+                (cat_j, ca.genomes[s_][0]),
+                statics=(SL, acfg.scoring, backend))
+        instrument.add_cells(int(kq[g].sum(dtype=np.int64)) * banded.BW,
+                             'extend')
+        pending.append((g, packed_t.T, emits))
+    # TWO fetches for ALL groups (one int32, one uint8): each transfer
+    # over the TPU tunnel costs ~1 s of latency
+    with _sub('emit.fetch'):
+        allp = np.asarray(jnp.concatenate(
+            [p.reshape(-1) for (_, p, _) in pending]))
+        alle = np.asarray(jnp.concatenate(
+            [e.reshape(-1) for (_, _, e) in pending]))
+    po = eo = 0
+    _t_post = _sub('emit.post'); _t_post.__enter__()
+    qs_walk = np.zeros(n, np.int64)
+    lf_walk = np.zeros(n, np.int64)
     seg_rows_l, seg_len_l, seg_op_l = [], [], []
-    for g, t4 in groups:
-        block = flat[o:o + len(g) * t4].reshape(len(g), t4)
-        o += len(g) * t4
-        sr, sl, so = tbmod.decode_emit_rle(block)
-        seg_rows_l.append(g[sr])             # -> selected order
-        seg_len_l.append(sl)
-        seg_op_l.append(so)
+    for g, packed, emits in pending:
+        psz = int(np.prod(packed.shape))
+        esz = int(np.prod(emits.shape))
+        p_np = allp[po:po + psz].reshape(packed.shape)
+        po += psz
+        e_np = alle[eo:eo + esz].reshape(emits.shape)
+        eo += esz
+        if _SUBT_ON:
+            import sys as _sys
+            print(f'emit group: {emits.shape}', file=_sys.stderr)
+        _score, _qend, _lane, qstart_c, l_fin = tbmod.finalize_scores(p_np)
+        qs_walk[g] = qstart_c
+        lf_walk[g] = l_fin
+        if _os.environ.get('FSLR_DUMP_EMIT'):
+            np.save(_os.environ['FSLR_DUMP_EMIT'], e_np)
+        with _sub('emit.rle'):
+            sr, sl_, so_ = tbmod.decode_emit_rle(e_np)
+        seg_rows_l.append(g[sr])
+        seg_len_l.append(sl_)
+        seg_op_l.append(so_)
         has[g] = True
     seg_rows = np.concatenate(seg_rows_l)
     seg_len = np.concatenate(seg_len_l).astype(np.int64)
@@ -960,8 +1460,11 @@ def _fetch_selected_emits(ca: CandAln, sel_idx: np.ndarray):
     ordr = np.argsort(seg_rows, kind='stable')
     seg_rows = seg_rows[ordr]
     np.add.at(cnt, seg_rows, 1)
-    return has, cnt, seg_len[ordr], seg_op[ordr]
-
+    cig_rle = (has, cnt, seg_len[ordr], seg_op[ordr])
+    qstart_o_new = qlo + qs_walk
+    rstart_new = ws + qs_walk + lf_walk - cmin
+    _t_post.__exit__(None, None, None)
+    return cig_rle, (qstart_o_new, rstart_new)
 
 
 def _fwd_span(out: Alignments, i: int):

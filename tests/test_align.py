@@ -294,3 +294,57 @@ def test_bwa_style_mapq_model():
     # degenerate inputs
     assert _bwa_style_mapq(0, 0, 100, 100, 2, 3, 22, 0) == 0
     assert _bwa_style_mapq(-5, 0, 100, 100, 2, 3, 22, 0) == 0
+
+
+def test_zdrop_splits_near_diagonal_fusion(ref_and_index):
+    """bwa z-drop equivalent (reference invocation -d 200,
+    /root/reference/fslr/main.py:125): two segments whose diagonals sit
+    within one band width (<128 apart) fuse into one seed candidate;
+    the extension bridges the junction as a giant deletion, and the
+    CIGAR-level splitter must report TWO alignments (as bwa would),
+    each scored by its own bases."""
+    ref, sidx = ref_and_index
+    # read = ref[6000:6800] + ref[6920:7720]: a 120 bp deletion ->
+    # diagonal separation 120 < BW=128, gap penalty 5 + 2*120 = 245 > 200
+    read = decode(np.concatenate([ref.codes[6000:6800],
+                                  ref.codes[6920:7720]]))
+    out = align_stage.align_batch([read], ref, sidx, CONFIG, backend='jax')
+    assert len(out) == 2, [
+        (int(out.rstart[i]), int(out.rend[i]), int(out.score[i]))
+        for i in range(len(out))]
+    order = np.argsort(out.rstart)
+    a, b = int(order[0]), int(order[1])
+    assert abs(int(out.rstart[a]) - 6000) <= 2
+    assert abs(int(out.rend[a]) - 6799) <= 2
+    assert abs(int(out.rstart[b]) - 6920) <= 2
+    assert abs(int(out.rend[b]) - 7719) <= 2
+    # piece scores replay their own bases: ~2*800 each, no gap penalty
+    assert int(out.score[a]) >= 1550 and int(out.score[b]) >= 1550
+    assert int(out.is_primary.sum()) == 1
+    # query coverage splits at the junction (forward strand)
+    q_a = (int(out.qstart_o[a]), int(out.qend_o[a]))
+    q_b = (int(out.qstart_o[b]), int(out.qend_o[b]))
+    assert abs(q_a[0] - 0) <= 2 and abs(q_a[1] - 800) <= 2
+    assert abs(q_b[0] - 800) <= 2 and abs(q_b[1] - 1600) <= 2
+    # CIGARs stay consistent with the split coordinates
+    cigs = out.cigar_lists()
+    for i in (a, b):
+        qspan = sum(n for n, op in cigs[i] if op in 'MI')
+        rspan = sum(n for n, op in cigs[i] if op in 'MD')
+        assert qspan == int(out.qend_o[i] - out.qstart_o[i])
+        assert rspan == int(out.rend[i] - out.rstart[i] + 1)
+
+
+def test_zdrop_keeps_small_deletion(ref_and_index):
+    """A deletion below the z-drop threshold (5 + 2g <= 200, g <= 97)
+    stays ONE alignment bridged by a D run, exactly as bwa would bridge
+    it."""
+    ref, sidx = ref_and_index
+    read = decode(np.concatenate([ref.codes[9000:9700],
+                                  ref.codes[9790:10400]]))   # 90 bp del
+    out = align_stage.align_batch([read], ref, sidx, CONFIG, backend='jax')
+    assert len(out) == 1
+    assert abs(int(out.rstart[0]) - 9000) <= 2
+    assert abs(int(out.rend[0]) - 10399) <= 2
+    cig = out.cigar_lists()[0]
+    assert any(op == 'D' and n >= 85 for n, op in cig)

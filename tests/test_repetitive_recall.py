@@ -168,7 +168,7 @@ def _recall(out, truths, locus, tol=60, min_cov=0.85):
 
 
 @pytest.mark.parametrize('n_copies,min_recall', [(5, 0.99), (10, 0.99),
-                                                 (50, 0.95)])
+                                                 (50, 0.99)])
 def test_tandem_duplicated_anchor_recall(n_copies, min_recall):
     rng = np.random.default_rng(9000 + n_copies)
     ref, sidx, locus = _make_ref(rng, n_copies)
