@@ -429,6 +429,11 @@ def _apply_gate(jnp, pk_fin, sk_fin, N, ql_d, na_d, R_j, qlen_thresh,
     return gate
 
 
+# encounter count beyond which the sharded in-HBM build is not even
+# attempted (deduped pair state cannot fit a ~16 GB chip)
+SPILL_DIRECT_MIN = 1 << 29
+
+
 def build_entries(jobs: list[ChromJob], R: int, max_itv: int, max_nc: int,
                   qlen2: np.ndarray, naln: np.ndarray, qlen_thresh: float,
                   naln_thresh: float, slice_cap: int,
@@ -455,19 +460,31 @@ def build_entries(jobs: list[ChromJob], R: int, max_itv: int, max_nc: int,
     import jax
     total_enc = sum(int(j.ccum[-1]) for j in jobs)
     with jax.enable_x64():
+        if total_enc > SPILL_DIRECT_MIN:
+            # far beyond HBM (the deduped pair set alone would need
+            # total_enc/2 * 16 B of device memory): don't burn a doomed
+            # sharded attempt + compiles, go straight to the host-spill
+            # path (first 10M config-5 run: 7B encounters)
+            import sys
+            print(f'encounter build: {total_enc} encounters, '
+                  f'host-spill path', file=sys.stderr)
+            return _spill_with_retry(jobs, R, max_itv, max_nc, qlen2,
+                                     naln, qlen_thresh, naln_thresh,
+                                     slice_cap)
         if total_enc > spill_min_encounters:
+            # NOTE: the fallback call happens OUTSIDE the except
+            # blocks — a live exception pins every frame of its
+            # traceback, and those frames reference the failed build's
+            # device buffers; retrying inside the handler started with
+            # HBM still full and even a scalar upload died (found by the
+            # first real 10M config-5 run)
+            why = None
             try:
                 return _build_entries_sharded(
                     jobs, R, max_itv, max_nc, qlen2, naln, qlen_thresh,
                     naln_thresh, slice_cap)
             except _ShardOverflow as e:
-                import sys
-                print(f'WARNING: sharded encounter build overflow '
-                      f'({e}); falling back to host-spill path',
-                      file=sys.stderr)
-                return _spill_with_retry(jobs, R, max_itv, max_nc,
-                                         qlen2, naln, qlen_thresh,
-                                         naln_thresh, slice_cap)
+                why = f'overflow ({e})'
             except Exception as e:
                 # HBM exhaustion mid-build (e.g. other stages' cached
                 # device arrays, or other tenants of a SHARED chip,
@@ -476,14 +493,15 @@ def build_entries(jobs: list[ChromJob], R: int, max_itv: int, max_nc: int,
                 # the reference's "never OOMs, just slows down" behavior
                 if 'RESOURCE_EXHAUSTED' not in str(e):
                     raise
-                import gc
-                import sys
-                print('WARNING: sharded encounter build exhausted HBM; '
-                      'falling back to host-spill path', file=sys.stderr)
-                gc.collect()
-                return _spill_with_retry(jobs, R, max_itv, max_nc,
-                                         qlen2, naln, qlen_thresh,
-                                         naln_thresh, slice_cap)
+                why = 'exhausted HBM'
+            import gc
+            import sys
+            print(f'WARNING: sharded encounter build {why}; '
+                  f'falling back to host-spill path', file=sys.stderr)
+            gc.collect()
+            return _spill_with_retry(jobs, R, max_itv, max_nc,
+                                     qlen2, naln, qlen_thresh,
+                                     naln_thresh, slice_cap)
         return _build_entries_x64(jobs, R, max_itv, max_nc, qlen2, naln,
                                   qlen_thresh, naln_thresh, slice_cap,
                                   merge_cap)
@@ -497,6 +515,7 @@ def _spill_with_retry(jobs, R, max_itv, max_nc, qlen2, naln, qlen_thresh,
     it completes even when most of HBM belongs to someone else."""
     import gc
     import sys
+    import time
     for div in (1, 4, 16):
         try:
             return _build_entries_spill(
@@ -504,12 +523,16 @@ def _spill_with_retry(jobs, R, max_itv, max_nc, qlen2, naln, qlen_thresh,
                 naln_thresh, max(slice_cap // div, 1 << 20),
                 phase2_cap=max((1 << 26) // div, 1 << 20))
         except Exception as e:
+            # fall through and retry OUTSIDE the handler: the live
+            # exception's traceback pins the failed attempt's device
+            # buffers (see build_entries)
             if 'RESOURCE_EXHAUSTED' not in str(e) or div == 16:
                 raise
-            print(f'WARNING: host-spill build exhausted HBM at '
-                  f'slice_cap/{div}; retrying at slice_cap/{div * 4}',
-                  file=sys.stderr)
-            gc.collect()
+        print(f'WARNING: host-spill build exhausted HBM at '
+              f'slice_cap/{div}; retrying at slice_cap/{div * 4}',
+              file=sys.stderr)
+        gc.collect()
+        time.sleep(2)       # let async remote deallocation land
 
 
 def _enum_job_slices(jnp, job, slice_cap, R_j, mn_j):

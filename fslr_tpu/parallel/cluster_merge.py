@@ -31,13 +31,20 @@ def initialize_distributed(coordinator: str | None = None,
     jax raises on a second initialize once the backend is live."""
     if num_processes is None or num_processes <= 1:
         return
-    from jax._src import distributed as _dist
-    state = getattr(_dist, 'global_state', None)
-    if state is not None and state.coordinator_address is not None:
+    # public API where available (jax >= 0.4.34); otherwise treat the
+    # "already initialized" RuntimeError as the idempotent no-op —
+    # reaching into jax._src.distributed.global_state broke across jax
+    # versions (round-4 advisor finding)
+    is_init = getattr(jax.distributed, 'is_initialized', None)
+    if is_init is not None and is_init():
         return
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        if 'already' not in str(e).lower():
+            raise
 
 
 def merged_components(mesh, edges_per_shard: list[np.ndarray],

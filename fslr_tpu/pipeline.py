@@ -369,27 +369,65 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None,
         # main.py:95-114).
         handoff: dict[str, list] = {}
         filtered_files: list[str] = []
-        for pth in fs:
+        n_workers = max(1, int(config.procs or 1))
+        if n_workers > 1 and len(fs) > 1:
+            # --procs honored as a host THREAD pool over input files
+            # (the reference's Pool.map fan-out, main.py:95-114): device
+            # kernels from concurrent files interleave on the chip while
+            # each file's parse/write host work runs on its own core.
+            # Results merge in input order, so counters and artifact
+            # sets are identical to the serial path.
+            from concurrent.futures import ThreadPoolExecutor
             with timer.stage('filter_junk'):
-                box: dict = {}
-                c = filter_junk.run_file(pth, panel, config, backend,
-                                         out_box=box)
-            if 'path' in box:
-                handoff[box['path']] = box['reads']
-                filtered_files.append(box['path'])
-            _merge_existing(filter_counts, c)
+                with ThreadPoolExecutor(min(n_workers, len(fs))) as ex:
+                    def _filter_one(pth):
+                        box: dict = {}
+                        c = filter_junk.run_file(pth, panel, config,
+                                                 backend, out_box=box)
+                        return c, box
+                    results = list(ex.map(_filter_one, fs))
+            for c, box in results:
+                if 'path' in box:
+                    handoff[box['path']] = box['reads']
+                    filtered_files.append(box['path'])
+                _merge_existing(filter_counts, c)
+        else:
+            for pth in fs:
+                with timer.stage('filter_junk'):
+                    box: dict = {}
+                    c = filter_junk.run_file(pth, panel, config, backend,
+                                             out_box=box)
+                if 'path' in box:
+                    handoff[box['path']] = box['reads']
+                    filtered_files.append(box['path'])
+                _merge_existing(filter_counts, c)
 
         no_primer_files: list[str] = []
         for pth in filtered_files:
             if os.path.getsize(pth) == 0:
                 print(f"WARNING: The file '{pth}' is empty.",
                       file=sys.stderr)
+        if n_workers > 1 and len(filtered_files) > 1:
+            from concurrent.futures import ThreadPoolExecutor
             with timer.stage('find_primers'):
-                c = find_primers.run_file(pth, panel, config, backend,
-                                          records=handoff.get(pth))
-            no_primer_files.append(
-                pth.replace('.filtered_junk.fq', '.no_primers.fq'))
-            _merge_all(filter_counts, c)
+                with ThreadPoolExecutor(min(n_workers,
+                                            len(filtered_files))) as ex:
+                    cs = list(ex.map(
+                        lambda p: find_primers.run_file(
+                            p, panel, config, backend,
+                            records=handoff.get(p)), filtered_files))
+            for pth, c in zip(filtered_files, cs):
+                no_primer_files.append(
+                    pth.replace('.filtered_junk.fq', '.no_primers.fq'))
+                _merge_all(filter_counts, c)
+        else:
+            for pth in filtered_files:
+                with timer.stage('find_primers'):
+                    c = find_primers.run_file(pth, panel, config, backend,
+                                              records=handoff.get(pth))
+                no_primer_files.append(
+                    pth.replace('.filtered_junk.fq', '.no_primers.fq'))
+                _merge_all(filter_counts, c)
 
         print('Filter counts: ', filter_counts, file=sys.stderr)
 
@@ -425,6 +463,60 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None,
         bam_items: list = []
         dfs: list = []
         from fslr_tpu.encode import revcomp_str
+
+        # Host post-processing (BAM record encode + chunk mapping-table
+        # frame) of chunk k runs on ONE worker thread while the device
+        # aligns chunk k+1 — the align stage spends most of its wall
+        # blocked on device fetches, leaving the CPU idle (reference
+        # analog: the Pool overlap of main.py:95-114; round-4 verdict
+        # item 3).  Results drain in order, bounding retained chunks.
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _post_chunk(aln, qnames, seqs, fa, off):
+            t0 = _time.perf_counter()
+            items: list = []
+            rle = aln.cig_rle if config.exact_cigars else None
+            if rle is not None and len(aln) and bool(np.all(rle[0])):
+                # columnar fast path: one vectorized payload buffer per
+                # chunk (the per-record Python loop was ~80 s of the
+                # 1M-read run)
+                buf, ofs, plens, rids, poss, rends = \
+                    bamio.encode_chunk_items(
+                        aln, off, fa._names, fa.name_off, fa.codes,
+                        fa.seq_off, fa._quals, fa.qual_off)
+                mv = memoryview(buf)
+                items.extend(
+                    (r, p, e, mv[o:o + ln])
+                    for r, p, e, o, ln in zip(
+                        rids.tolist(), poss.tolist(), rends.tolist(),
+                        ofs.tolist(), plens.tolist()))
+            else:
+                _encode_chunk_fallback(aln, qnames, seqs, fa, off,
+                                       config, items)
+            t1 = _time.perf_counter()
+            df = mapping_table.mapping_table(
+                aln, qnames, seqs, ref.names, config.regions, panel.seqs)
+            t2 = _time.perf_counter()
+            return items, df, t1 - t0, t2 - t1
+
+        def _drain(fut):
+            items, df, t_rec, t_map = fut.result()
+            bam_items.extend(items)
+            dfs.append(df)
+            # worker wall time recorded under the historical stage names
+            # (overlapped with align, so stage sums can exceed wall)
+            timer.timings['bam_records'] = timer.timings.get(
+                'bam_records', 0.0) + t_rec
+            timer.counts['bam_records'] = timer.counts.get(
+                'bam_records', 0) + 1
+            timer.timings['mapping_table'] = timer.timings.get(
+                'mapping_table', 0.0) + t_map
+            timer.counts['mapping_table'] = timer.counts.get(
+                'mapping_table', 0) + 1
+
+        post_pool = ThreadPoolExecutor(1)
+        pending: list = []
         for pth in labelled:
             with timer.stage('read_labelled'):
                 fa = read_reads(pth)
@@ -440,31 +532,13 @@ def _run_pipeline(config: PipelineConfig, backend: str | None = None,
                         masked=masked, codes=fa.codes_slice(off, hi))
                 # BAM records (replaces bwa|dodi|samtools); exact CIGARs
                 # come from the extension traceback walk
-                t_rec = timer.stage('bam_records')
-                t_rec.__enter__()
-                rle = aln.cig_rle if config.exact_cigars else None
-                if rle is not None and len(aln) and bool(np.all(rle[0])):
-                    # columnar fast path: one vectorized payload buffer
-                    # per chunk (the per-record Python loop was ~80 s of
-                    # the 1M-read run)
-                    buf, ofs, plens, rids, poss, rends = \
-                        bamio.encode_chunk_items(
-                            aln, off, fa._names, fa.name_off, fa.codes,
-                            fa.seq_off, fa._quals, fa.qual_off)
-                    mv = memoryview(buf)
-                    bam_items.extend(
-                        (r, p, e, mv[o:o + ln])
-                        for r, p, e, o, ln in zip(
-                            rids.tolist(), poss.tolist(), rends.tolist(),
-                            ofs.tolist(), plens.tolist()))
-                else:
-                    _encode_chunk_fallback(aln, qnames, seqs, fa, off,
-                                           config, bam_items)
-                t_rec.__exit__(None, None, None)
-                with timer.stage('mapping_table'):
-                    dfs.append(mapping_table.mapping_table(
-                        aln, qnames, seqs, ref.names, config.regions,
-                        panel.seqs))
+                pending.append(post_pool.submit(
+                    _post_chunk, aln, qnames, seqs, fa, off))
+                while len(pending) > 2:
+                    _drain(pending.pop(0))
+        while pending:
+            _drain(pending.pop(0))
+        post_pool.shutdown()
 
         with timer.stage('bam_write'):
             bamio.write_bam_items(f'{basename}.bwa_dodi.bam', ref.names,

@@ -37,6 +37,7 @@ Replicated semantics (citations into /root/reference/fslr/):
 from __future__ import annotations
 
 import dataclasses
+import sys
 from collections import namedtuple
 
 import numpy as np
@@ -423,12 +424,23 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         # closed form leaves its exactness domain (a capped break leaves
         # pairs un-seen for later re-testing, cluster.py:205-224 — see
         # ops/capwalk.py docstring).  Replay the walk exactly over the
-        # full multi-occurrence stream, reusing the batch pair values.
+        # full multi-occurrence stream.  The reference values a pair in
+        # the direction it is REACHED (overall_jaccard_similarity is a
+        # greedy match and n_i is the query side's interval count), so
+        # value BOTH directions and let each event look up its own —
+        # reusing only the first-encounter direction could flip pass/
+        # fail on re-tested pairs (round-4 advisor finding).
+        j64r, n_ir = capwalk.value_entries(eo, eq, dev_arrays, M,
+                                           overlap_cutoff, over,
+                                           host_value)
+        passr, _ = capwalk.pass_flags(j64r, n_ir, list(jaccard_cutoffs))
         pk_v = np.minimum(eq, eo) * R + np.maximum(eq, eo)
         vord = np.argsort(pk_v)
         eq_w, eo_w, j_w = _exact_capped_walk(
             jobs, R, max_itv, max_nc, edge_threshold,
-            pk_v[vord], j64[vord], n_i[vord], passv[vord])
+            pk_v[vord], eq[vord],
+            (j64[vord], n_i[vord], passv[vord]),
+            (j64r[vord], n_ir[vord], passr[vord]))
         return _emit_from_pairs(eq_w, eo_w, j_w, qnames_order)
     rc = np.ones(len(eq), bool)
     rc[1:] = (eq[1:] != eq[:-1]) | (ei[1:] != ei[:-1])
@@ -486,7 +498,7 @@ def _first_occurrence_mask(pk: np.ndarray) -> np.ndarray:
 
 
 def _exact_capped_walk(jobs, R, max_itv, max_nc, edge_threshold,
-                       pk_valued, j_valued, n_valued, pass_valued):
+                       pk_valued, eq_valued, fwd_vals, rev_vals):
     """Exact sequential replay of the reference traversal
     (cluster.py:187-227) over the FULL multi-occurrence encounter
     stream, used when some query reaches the soft edge cap.
@@ -500,17 +512,65 @@ def _exact_capped_walk(jobs, R, max_itv, max_nc, edge_threshold,
     (runs = (read, interval) neighbor lists, reference's inner loops).
 
     Returns (eq, eo, j) per emission in exact traversal order.
+
+    Memory is bounded: the multi-occurrence stream is materialized in
+    CONTIGUOUS QUERY CHUNKS of ~ENCOUNTER_SLICE_CAP encounters each (a
+    query's walk only ever needs its own segment; consumed-pair state
+    carries across chunks in the _ConsumedSet) — materializing the
+    whole stream at once (~80 B/encounter transients) could exhaust
+    host RAM exactly on the dense-breakpoint datasets where queries
+    cap (round-4 advisor finding).
     """
-    # ---- materialize the stream in traversal order -------------------
+    # per-read event upper bounds (pre-filter) for chunk boundaries
+    ev_per_read = np.zeros(R + 1, np.int64)
+    for rid_arr, irk_arr, starts, ends, lo, counts, ccum in jobs:
+        np.add.at(ev_per_read, rid_arr, counts)
+    cum = np.cumsum(ev_per_read[:R])
+    total_ev = int(cum[-1]) if R else 0
+    if total_ev == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float64)
+    n_chunks = max(1, -(-total_ev // ENCOUNTER_SLICE_CAP))
+    targets = (np.arange(1, n_chunks) * (total_ev / n_chunks))
+    splits = np.unique(np.searchsorted(cum, targets) + 1)
+    r_bounds = np.concatenate([[0], splits, [R]])
+    r_bounds = np.unique(r_bounds)
+
+    cons = _ConsumedSet()
+    T = int(edge_threshold)
+    out_eq, out_eo, out_j = [], [], []
+    for r0, r1 in zip(r_bounds[:-1], r_bounds[1:]):
+        res = _exact_walk_chunk(jobs, R, max_itv, max_nc, T, pk_valued,
+                                eq_valued, fwd_vals, rev_vals, cons,
+                                int(r0), int(r1))
+        if res is not None:
+            out_eq.append(res[0])
+            out_eo.append(res[1])
+            out_j.append(res[2])
+    if not out_eq:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float64)
+    return (np.concatenate(out_eq), np.concatenate(out_eo),
+            np.concatenate(out_j))
+
+
+def _exact_walk_chunk(jobs, R, max_itv, max_nc, T, pk_valued,
+                      eq_valued, fwd_vals, rev_vals, cons, r0, r1):
+    """Materialize + walk the stream segment of queries [r0, r1)
+    (helper of _exact_capped_walk; ``cons`` carries consumed pairs
+    across chunks)."""
     pks, tvs = [], []
     for rid_arr, irk_arr, starts, ends, lo, counts, ccum in jobs:
-        nc = len(starts)
-        tot = int(ccum[-1])
-        if tot == 0:
+        qsel = np.flatnonzero((rid_arr >= r0) & (rid_arr < r1)
+                              & (counts > 0))
+        if not len(qsel):
             continue
-        qx = np.repeat(np.arange(nc, dtype=np.int64), counts)
+        cnt_sel = counts[qsel]
+        tot = int(cnt_sel.sum())
+        qx = np.repeat(qsel, cnt_sel)
+        base = np.concatenate([[0], np.cumsum(cnt_sel)])[:-1]
         nx = (np.arange(tot, dtype=np.int64)
-              - np.repeat((ccum[:-1] - lo).astype(np.int64), counts))
+              - np.repeat(base - lo[qsel], cnt_sel))
         keep = ends[nx] >= starts[qx]
         qx, nx = qx[keep], nx[keep]
         a, b = rid_arr[qx], rid_arr[nx]
@@ -521,8 +581,7 @@ def _exact_capped_walk(jobs, R, max_itv, max_nc, edge_threshold,
         pks.append(np.minimum(a, b) * R + np.maximum(a, b))
         tvs.append((a * max_itv + irk_arr[qx]) * max_nc + nx)
     if not pks:
-        z = np.zeros(0, np.int64)
-        return z, z, np.zeros(0, np.float64)
+        return None
     pk = np.concatenate(pks)
     tv = np.concatenate(tvs)
     order = np.argsort(tv)              # tv unique: (read, rank, npos)
@@ -534,19 +593,23 @@ def _exact_capped_walk(jobs, R, max_itv, max_nc, edge_threshold,
     oth = np.where(eq == p_lo, p_hi, p_lo)
 
     # ---- static per-event flags from the batch pair values -----------
+    # each event uses ITS direction's (jaccard, n_i, pass): fwd_vals
+    # were valued with the stored eq_valued as query side, rev_vals
+    # with the other side
     vix = np.searchsorted(pk_valued, pk)
     vix_c = np.minimum(vix, max(len(pk_valued) - 1, 0))
     hasv = ((vix < len(pk_valued)) & (pk_valued[vix_c] == pk)
             if len(pk_valued) else np.zeros(E, bool))
-    gated = hasv & (n_valued[vix_c] > 0)      # reaches the break check
-    passf = hasv & pass_valued[vix_c]
-    jval = np.where(hasv, j_valued[vix_c], 0.0)
+    j_f, n_f, p_f = fwd_vals
+    j_r, n_r, p_r = rev_vals
+    is_fwd = eq == eq_valued[vix_c]
+    gated = hasv & np.where(is_fwd, n_f[vix_c] > 0, n_r[vix_c] > 0)
+    passf = hasv & np.where(is_fwd, p_f[vix_c], p_r[vix_c])
+    jval = np.where(hasv, np.where(is_fwd, j_f[vix_c], j_r[vix_c]), 0.0)
 
-    seg_bounds = np.searchsorted(eq, np.arange(R + 1))
-    cons = _ConsumedSet()
+    seg_bounds = np.searchsorted(eq, np.arange(r0, r1 + 1))
     emit_pos: list[int] = []
-    T = int(edge_threshold)
-    for r in range(R):
+    for r in range(r1 - r0):
         s0, s1 = int(seg_bounds[r]), int(seg_bounds[r + 1])
         if s0 == s1:
             continue
@@ -609,6 +672,9 @@ def _exact_capped_walk(jobs, R, max_itv, max_nc, edge_threshold,
             cons.add(np.concatenate(seg_consumed))
     pos = np.asarray(emit_pos, np.int64)
     return eq[pos], oth[pos], jval[pos]
+
+
+# re-export for _exact_capped_walk chunking (defined above)
 
 
 def _emit_outputs(idx, eo_e, j_e, bounds, qnames_order):
@@ -675,6 +741,22 @@ def _query_graph_device(jobs, R, max_itv, max_nc, trav_scale, qlen2_arr,
         idx_e, eo_e, j_e = cw.resolve_device(
             ents.device_buckets(), bounds, max_itv, max_nc, dev_arrays,
             M, overlap_cutoff, cutoffs, edge_threshold, over, host_value)
+    # the scale paths keep the closed-form first-encounter replay even
+    # when a query caps (the exact multi-occurrence walk is host-path
+    # only; round-4 advisor: users should know when that semantics
+    # applies) — a query emitting edge_threshold edges has (almost
+    # certainly) hit the soft cap
+    if len(idx_e):
+        eq_e = np.searchsorted(bounds, idx_e, side='right') - 1
+        n_cap = int((np.bincount(eq_e, minlength=R)
+                     >= edge_threshold).sum())
+        if n_cap:
+            print(f'note: {n_cap} queries reached the soft edge cap '
+                  f'({edge_threshold}) on the at-scale clustering path; '
+                  f'capped walks use first-encounter edge semantics '
+                  f'(cluster beds verified component-equal on oracle '
+                  f'frames; see ops/capwalk.py exactness domain)',
+                  file=sys.stderr)
     return _emit_outputs(idx_e, eo_e, j_e, bounds, qnames_order)
 
 

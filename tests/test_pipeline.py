@@ -300,3 +300,38 @@ def test_mapping_table_from_bam_roundtrip(workdir):
         .reset_index(drop=True),
         got2.sort_values(['qname', 'qstart', 'chrom'])
         .reset_index(drop=True))
+
+
+def test_pipeline_procs_threadpool_parity(workdir, tmp_path):
+    """--procs > 1 fans the per-file filter/primer loops over a host
+    thread pool (the reference's Pool.map, main.py:95-114); artifacts
+    and counters must be identical to the serial path.  Two input files
+    so the pool genuinely runs concurrent jobs."""
+    root, ref_path, fq_dir = workdir
+    # split the single batch file into two
+    import shutil
+    fq2 = tmp_path / 'reads2'
+    fq2.mkdir()
+    lines = open(os.path.join(fq_dir, 'batch0.fastq')).read().splitlines()
+    recs = [lines[i:i + 4] for i in range(0, len(lines), 4)]
+    half = len(recs) // 2
+    with open(fq2 / 'a.fastq', 'w') as fh:
+        fh.write('\n'.join(l for r in recs[:half] for l in r) + '\n')
+    with open(fq2 / 'b.fastq', 'w') as fh:
+        fh.write('\n'.join(l for r in recs[half:] for l in r) + '\n')
+
+    outs = {}
+    for procs in (1, 2):
+        out = str(tmp_path / f'out_p{procs}')
+        config = PipelineConfig(name='T', out=out, ref=ref_path,
+                                primers=('21q1', '17p6'),
+                                basecalled=str(fq2), procs=procs)
+        run_pipeline(config, backend='jax')
+        outs[procs] = out
+
+    for suffix in ('.mappings.bed', '.mappings.cluster.bed',
+                   '.mappings.representative.bed',
+                   '.filter_counts_summary.csv', '.without_primers.fq'):
+        a = open(os.path.join(outs[1], 'T' + suffix), 'rb').read()
+        b = open(os.path.join(outs[2], 'T' + suffix), 'rb').read()
+        assert a == b, suffix

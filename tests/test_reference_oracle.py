@@ -468,3 +468,18 @@ def test_differential_capped_device_components(seed):
     assert cluster_map(res.cluster_bed) == cluster_map(ref_bed)
     assert (set(res.representative_bed['qname'])
             == set(ref_rep['qname']))
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_differential_capped_chunked_exact_walk(seed, monkeypatch):
+    """The exact capped walk materializes the multi-occurrence stream in
+    bounded query chunks (ENCOUNTER_SLICE_CAP; round-4 advisor finding:
+    one capping query could blow host RAM on the dense datasets the
+    sliced paths were built for).  Force tiny chunks so every frame
+    crosses many chunk boundaries and assert bit-exact reference
+    parity — consumed-pair state must carry across chunks."""
+    monkeypatch.setattr(C, 'ENCOUNTER_SLICE_CAP', 64)
+    rng = np.random.default_rng(4200 + seed)
+    bed = make_frame(rng, n_groups=2, max_members=25,
+                     n_noise=int(rng.integers(0, 6)))
+    _assert_frame_matches_reference(bed, ClusterConfig())
