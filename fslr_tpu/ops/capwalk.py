@@ -106,10 +106,20 @@ def replay(passv: np.ndarray, gated: np.ndarray, rc: np.ndarray,
     return (passv & ~capped) | (capped & ~in_cap_run & first_gated & passv)
 
 
-def value_entries(eq, eo, dev_arrays, M, pct, over, host_value):
+def value_entries(eq, eo, dev_arrays, M, pct, over, host_value,
+                  host_arrays=None):
     """(j64, n_i) for every (eq, eo) pair entry: batched device Jaccard,
     exact host fallback for reads whose interval lists exceed the kernel
-    cap.  j is float64 (device float32 exactly upcast; over-cap exact)."""
+    cap.  j is float64 (device float32 exactly upcast; over-cap exact).
+
+    ``host_arrays`` = (chrom_a, start_a, end_a, size_a, lens_a): when
+    given, pairs where BOTH reads have exactly ONE interior interval are
+    valued on host in closed form — the greedy matching of two
+    singleton lists is ``j = 1 if reciprocal-overlap match else 0``
+    (jaccard.jaccard_host with len-1 lists), in exact float64, i.e. the
+    reference's own arithmetic.  3-alignment reads are the DOMINANT
+    split-read class, so at config-5 scale this keeps billions of pairs
+    off the ~10-15 MB/s device link entirely."""
     from fslr_tpu.ops import jaccard
 
     E = len(eq)
@@ -121,7 +131,27 @@ def value_entries(eq, eo, dev_arrays, M, pct, over, host_value):
         ovm = np.isin(eq, over) | np.isin(eo, over)
     else:
         ovm = np.zeros(E, bool)
-    dev_rows = np.flatnonzero(~ovm)
+    single = np.zeros(E, bool)
+    if host_arrays is not None:
+        chrom_a, start_a, end_a, size_a, lens_a = host_arrays
+        single = (lens_a[eq] == 1) & (lens_a[eo] == 1) & ~ovm
+        rows1 = np.flatnonzero(single)
+        if len(rows1):
+            a, b = eq[rows1], eo[rows1]
+            z1 = size_a[a, 0].astype(np.float64)
+            z2 = size_a[b, 0].astype(np.float64)
+            ov = np.maximum(
+                0, np.minimum(end_a[a, 0], end_a[b, 0])
+                - np.maximum(start_a[a, 0], start_a[b, 0])
+            ).astype(np.float64)
+            with np.errstate(divide='ignore', invalid='ignore'):
+                r1 = np.where(z1 > 0, ov / np.where(z1 > 0, z1, 1), 0.0)
+                r2 = np.where(z2 > 0, ov / np.where(z2 > 0, z2, 1), 0.0)
+            m = ((chrom_a[a, 0] == chrom_a[b, 0]) & (z1 > 0) & (z2 > 0)
+                 & (np.minimum(r1, r2) >= pct))
+            j64[rows1] = m.astype(np.float64)
+            n_i[rows1] = m.astype(np.int64)
+    dev_rows = np.flatnonzero(~ovm & ~single)
     if len(dev_rows):
         pairs = np.stack([eq[dev_rows], eo[dev_rows]], 1).astype(np.int32)
         jd, nd = jaccard.jaccard_pairs_indexed(pairs, *dev_arrays, pct,
@@ -152,22 +182,61 @@ def pass_counts(passv, bounds):
 
 
 def value_and_replay_host(eq, ei, eo, bounds, dev_arrays, M, pct, cutoffs,
-                          edge_threshold, over, host_value):
-    """Value every entry (batched device Jaccard; exact host fallback for
-    reads whose interval lists exceed the kernel cap) and replay the
-    traversal in numpy.  Returns (idx, eo, j) in traversal order, with j
-    float64 (device values exactly upcast; over-cap pairs exact)."""
-    E = len(eq)
+                          edge_threshold, over, host_value,
+                          host_arrays=None, chunk=1 << 28):
+    """Value every entry (batched device Jaccard; single-interval host
+    closed form; exact host fallback for reads whose interval lists
+    exceed the kernel cap) and replay the traversal in numpy.  Returns
+    (idx, eo, j) in traversal order, with j float64 (device values
+    exactly upcast; over-cap pairs exact).
+
+    Processing is chunked on QUERY-ALIGNED entry ranges: replay's cap
+    logic is strictly per-query, so chunking is exact, and the ~6
+    E-sized int64 transients replay+valuing materialize stay bounded
+    (at config-5 scale a flat pass would need >100 GB of host RAM).
+    ``eq`` may be None — it is reconstructed per chunk from ``bounds``.
+    """
+    E = len(ei)
     if E == 0:
         z = np.zeros(0, np.int64)
         return z, z, np.zeros(0, np.float64)
-    j64, n_i = value_entries(eq, eo, dev_arrays, M, pct, over, host_value)
-    passv, gated = pass_flags(j64, n_i, cutoffs)
-    rc = np.ones(E, bool)
-    rc[1:] = (eq[1:] != eq[:-1]) | (ei[1:] != ei[:-1])
-    emit = replay(passv, gated, rc, eq, bounds, edge_threshold)
-    idx = np.flatnonzero(emit)
-    return idx, np.asarray(eo)[idx], j64[idx]
+    eo = np.asarray(eo)
+    R = len(bounds) - 1
+    out_idx, out_eo, out_j = [], [], []
+    q0 = 0
+    while q0 < R:
+        b0 = int(bounds[q0])
+        if b0 >= E:
+            break
+        # smallest query range covering >= chunk entries (query-aligned)
+        q1 = int(np.searchsorted(bounds, b0 + chunk, side='left'))
+        q1 = max(q1, q0 + 1)
+        q1 = min(q1, R)
+        b1 = int(bounds[q1])
+        ei_c = ei[b0:b1]
+        eo_c = eo[b0:b1]
+        if eq is not None:
+            eq_c = np.asarray(eq[b0:b1])
+        else:
+            cnts = np.diff(bounds[q0:q1 + 1]).astype(np.int64)
+            eq_c = np.repeat(np.arange(q0, q1, dtype=np.int64), cnts)
+        j64, n_i = value_entries(eq_c, eo_c, dev_arrays, M, pct, over,
+                                 host_value, host_arrays)
+        passv, gated = pass_flags(j64, n_i, cutoffs)
+        rc = np.ones(len(ei_c), bool)
+        rc[1:] = (eq_c[1:] != eq_c[:-1]) | (ei_c[1:] != ei_c[:-1])
+        lb = (bounds[q0:q1 + 1] - b0).astype(np.int64)
+        emit = replay(passv, gated, rc, eq_c - q0, lb, edge_threshold)
+        idx_l = np.flatnonzero(emit)
+        out_idx.append(idx_l + b0)
+        out_eo.append(eo_c[idx_l])
+        out_j.append(j64[idx_l])
+        q0 = q1
+    if not out_idx:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float64)
+    return (np.concatenate(out_idx), np.concatenate(out_eo),
+            np.concatenate(out_j))
 
 
 # --------------------------------------------------------------------------

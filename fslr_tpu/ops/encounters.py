@@ -1049,85 +1049,112 @@ def _build_entries_spill(jobs, R, max_itv, max_nc, qlen2, naln,
     _dbg(f'slices spilled to {B} host buckets '
          f'({sum(len(p) for ps in host_pk for p in ps)} entries)')
 
-    # ---- phase 2: per bucket, device dedup + gate + compact -----------
-    SUB = 1 << 25      # per-upload chunk (256 MB of int64)
-    ql_d = jnp.asarray(qlen2.astype(np.float32))
-    na_d = jnp.asarray(naln.astype(np.float32))
-    tv_parts: list[np.ndarray] = []
-    eo_parts: list[np.ndarray] = []
+    # ---- phase 2: per bucket, HOST dedup + exact float64 gate ---------
+    # The former device roundtrip (re-upload every bucket, merge/gate
+    # kernels, gated fetch) moved the whole pair state a second and
+    # third time over the ~10-15 MB/s tunnel and dominated config-5
+    # wall.  Host dedup is ONE stable argsort + minimum.reduceat per
+    # bucket (phase-1 slices arrive pk-sorted, so the mergesort is
+    # near-linear), and the float64 gate below IS the reference's host
+    # arithmetic (cluster.py:178-183) — the device gate + borderline
+    # re-check construction exists precisely to equal it.
+    qlen2_f = qlen2.astype(np.float64)
+    naln_f = naln.astype(np.float64)
+    # gated entries land in QUERY-RANGE buckets so the traversal sort
+    # (phase 3) runs one bounded range at a time — a single global
+    # argsort of billions of tv keys needs ~3x the entry bytes in
+    # transients and topped host RAM at config-5 scale
+    NQR = 64
+    q_span = max(1, -(-R // NQR))
+    range_tv: list[list] = [[] for _ in range(NQR)]
+    range_eo: list[list] = [[] for _ in range(NQR)]
     for b in range(B):
         if not host_pk[b]:
             continue
         pk_all = np.concatenate(host_pk[b])
         sk_all = np.concatenate(host_sk[b])
         host_pk[b] = host_sk[b] = None
-        n_all = len(pk_all)
-        acc = None
-        acc_cnt = 0
-        for off in range(0, n_all, SUB):
-            chunk_pk = pk_all[off:off + SUB]
-            n = len(chunk_pk)
-            Np = _bucket(n)
-            up_pk = jnp.asarray(np.concatenate(
-                [chunk_pk, np.full(Np - n, BIG, np.int64)]))
-            up_sk = jnp.asarray(np.concatenate(
-                [sk_all[off:off + SUB],
-                 np.full(Np - n, _SK_BIG, np.int32)]))
-            if acc is None:
-                pk_m, sk_m, cnt = _merge_fn((Np,))(up_pk, up_sk)
-            else:
-                pk_m, sk_m, cnt = _merge_fn(
-                    (int(acc[0].shape[0]), Np))(acc[0], acc[1],
-                                                up_pk, up_sk)
-            c = int(cnt)
-            Na = _bucket(max(c, 1))
-            if Na < int(pk_m.shape[0]):
-                pk_m, sk_m = pk_m[:Na], sk_m[:Na]
-            acc = (pk_m, sk_m)
-            acc_cnt = c
-        del pk_all, sk_all
-        if acc_cnt == 0:
-            continue
-        N = int(acc[0].shape[0])
-        gate = _apply_gate(jnp, acc[0], acc[1], N, ql_d, na_d, R_j,
-                           qlen_thresh, naln_thresh, qlen2, naln)
-        tv_c, eo_c, cnt_g = _gate_compact_fn(N)(
-            acc[0], acc[1], gate, R_j, jnp.int64(trav_scale))
-        acc = None
-        g = int(cnt_g)
-        if g:
-            tv_parts.append(np.asarray(tv_c[:g]))
-            eo_parts.append(np.asarray(eo_c[:g]))
-        del tv_c, eo_c, gate
+        ord_ = np.argsort(pk_all, kind='stable')
+        pk_s = pk_all[ord_]
+        del pk_all
+        starts_r = np.flatnonzero(np.concatenate(
+            [[True], pk_s[1:] != pk_s[:-1]]))
+        pk_u = pk_s[starts_r]
+        sk_u = np.minimum.reduceat(sk_all[ord_], starts_r)
+        del pk_s, sk_all, ord_, starts_r
+        flag = (sk_u // _SK_FLAG).astype(np.int64)
+        rest = (sk_u - flag * _SK_FLAG).astype(np.int64)
+        p_lo = pk_u // R
+        p_hi = pk_u % R
+        del pk_u, sk_u
+        a = np.where(flag == 1, p_hi, p_lo)
+        bb = np.where(flag == 1, p_lo, p_hi)
+        del p_lo, p_hi, flag
+        q1 = qlen2_f[a]
+        q2 = qlen2_f[bb]
+        n1 = naln_f[a]
+        n2 = naln_f[bb]
+        ok = ((np.minimum(q1, q2)
+               / np.maximum(np.maximum(q1, q2), 1e-12)) >= qlen_thresh) \
+            | ((np.minimum(n1, n2) / np.maximum(n1, n2)) >= naln_thresh)
+        del q1, q2, n1, n2
+        if ok.any():
+            a_k = a[ok]
+            tv_k = a_k * trav_scale + rest[ok]
+            eo_k = bb[ok].astype(np.int32)
+            qr_k = (a_k // q_span).astype(np.int64)
+            del a_k
+            ord_q = np.argsort(qr_k, kind='stable')
+            qr_s = qr_k[ord_q]
+            cuts = np.searchsorted(qr_s, np.arange(NQR + 1))
+            tv_s = tv_k[ord_q]
+            eo_s_ = eo_k[ord_q]
+            del tv_k, eo_k, qr_k, qr_s, ord_q
+            for qr in range(NQR):
+                if cuts[qr + 1] > cuts[qr]:
+                    range_tv[qr].append(tv_s[cuts[qr]:cuts[qr + 1]])
+                    range_eo[qr].append(eo_s_[cuts[qr]:cuts[qr + 1]])
+            del tv_s, eo_s_
+        del a, bb, rest, ok
     _dbg('buckets deduped + gated')
 
-    # ---- phase 3: host traversal order + run-jump + bounds ------------
-    if not tv_parts:
+    # ---- phase 3: per-query-range traversal order + bounds ------------
+    # (the former run-jump array `nxt` fed the DEVICE walk only; the
+    # spill path's consumer is the chunked host replay, so building it
+    # was 8 B/entry of dead allocation)
+    counts_q = np.zeros(R, np.int64)
+    ei_parts: list[np.ndarray] = []
+    eo_parts2: list[np.ndarray] = []
+    E = 0
+    for qr in range(NQR):
+        if not range_tv[qr]:
+            continue
+        tv = np.concatenate(range_tv[qr])
+        eo_r = np.concatenate(range_eo[qr])
+        range_tv[qr] = range_eo[qr] = None
+        order = np.argsort(tv, kind='stable')    # radix; tv is unique
+        tv = tv[order]
+        eo_r = eo_r[order]
+        del order
+        eq_r = tv // trav_scale
+        q_lo = qr * q_span
+        counts_q[q_lo:q_lo + q_span] += np.bincount(
+            eq_r - q_lo, minlength=q_span)[:q_span]
+        ei_parts.append(((tv // max_nc) % max_itv).astype(np.int32))
+        del tv, eq_r
+        eo_parts2.append(eo_r)
+        E += len(eo_r)
+    if E == 0:
         z = np.zeros(0, np.int32)
-        return HostEntrySet(z, z, z, np.zeros(R + 1, np.int64), 0)
-    tv_all = np.concatenate(tv_parts)
-    eo_all = np.concatenate(eo_parts)
-    del tv_parts, eo_parts
-    E = len(tv_all)
-    order = np.argsort(tv_all, kind='stable')    # radix; tv is unique
-    key_s = tv_all[order]
-    eo_s = eo_all[order]
-    del tv_all, eo_all, order
-    eq_s = key_s // trav_scale
-    ei_s = ((key_s // max_nc) % max_itv).astype(np.int32)
-    flag = np.ones(E, bool)
-    flag[1:] = (eq_s[1:] != eq_s[:-1]) | (ei_s[1:] != ei_s[:-1])
-    m = np.where(flag, np.arange(E, dtype=np.int64), E)
-    sfx = np.minimum.accumulate(m[::-1])[::-1]
-    # global entry indices exceed int32 exactly in the regime this spill
-    # path targets (billions of pairs) — keep run jumps 64-bit there
-    idt = np.int32 if E < 2**31 else np.int64
-    nxt = np.concatenate([sfx[1:], [E]]).astype(idt)
-    bounds = np.searchsorted(eq_s, np.arange(R + 1,
-                                             dtype=np.int64)).astype(
-        np.int64)
+        return HostEntrySet(z, z, None, np.zeros(R + 1, np.int64), 0)
+    ei_s = np.concatenate(ei_parts)
+    del ei_parts
+    eo_s = np.concatenate(eo_parts2)
+    del eo_parts2
+    bounds = np.zeros(R + 1, np.int64)
+    np.cumsum(counts_q, out=bounds[1:])
     _dbg(f'host order done (E={E})')
-    return HostEntrySet(ei_s, eo_s, nxt, bounds, E)
+    return HostEntrySet(ei_s, eo_s, None, bounds, E)
 
 
 def _build_entries_x64(jobs, R, max_itv, max_nc, qlen2, naln, qlen_thresh,

@@ -290,6 +290,7 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
 
     dev_arrays = jaccard.upload_interval_arrays(
         chrom_a, start_a, end_a, size_a, valid_a, np.minimum(lens_a, M))
+    host_arrays = (chrom_a, start_a, end_a, size_a, lens_a)
     over = np.nonzero(lens_a > M)[0]
 
     def host_value(eqs, eos):
@@ -317,7 +318,7 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
             jobs, R, max_itv, max_nc, trav_scale, qlen2_arr, naln_arr,
             overlap_cutoff, jaccard_cutoffs, edge_threshold, qlen_diff,
             n_aln_diff, cfg, qnames_order, over, dev_arrays, M,
-            host_value)
+            host_value, host_arrays)
 
     # Bounded-memory host enumeration: the raw encounter stream is
     # quadratic in recurrent-breakpoint group size, so interval ranges are
@@ -415,7 +416,8 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
 
     bounds = np.searchsorted(eq, np.arange(R + 1))
     j64, n_i = capwalk.value_entries(eq, eo, dev_arrays, M,
-                                     overlap_cutoff, over, host_value)
+                                     overlap_cutoff, over, host_value,
+                                     host_arrays)
     passv, gated_e = capwalk.pass_flags(j64, n_i, list(jaccard_cutoffs))
     if cfg.exact_cap_replay and len(eq) \
             and (capwalk.pass_counts(passv, bounds)
@@ -432,7 +434,7 @@ def query_graph(data, overlap_cutoff, jaccard_cutoffs, edge_threshold,
         # fail on re-tested pairs (round-4 advisor finding).
         j64r, n_ir = capwalk.value_entries(eo, eq, dev_arrays, M,
                                            overlap_cutoff, over,
-                                           host_value)
+                                           host_value, host_arrays)
         passr, _ = capwalk.pass_flags(j64r, n_ir, list(jaccard_cutoffs))
         pk_v = np.minimum(eq, eo) * R + np.maximum(eq, eo)
         vord = np.argsort(pk_v)
@@ -707,7 +709,7 @@ def _query_graph_device(jobs, R, max_itv, max_nc, trav_scale, qlen2_arr,
                         naln_arr, overlap_cutoff, jaccard_cutoffs,
                         edge_threshold, qlen_diff, n_aln_diff,
                         cfg: ClusterConfig, qnames_order, over,
-                        dev_arrays, M, host_value):
+                        dev_arrays, M, host_value, host_arrays=None):
     """Scale path of query_graph: the encounter stream is enumerated and
     min-reduced on DEVICE (ops/encounters.py), entries stay
     device-resident, and the edge-capped traversal is replayed as a
@@ -730,13 +732,13 @@ def _query_graph_device(jobs, R, max_itv, max_nc, trav_scale, qlen2_arr,
     bounds = ents.bounds
     cutoffs = list(jaccard_cutoffs)
     if isinstance(ents, encounters.HostEntrySet):
-        # spill fallback: entries live in host RAM; value on device in
-        # chunks, replay in numpy
+        # spill fallback: entries live in host RAM; valuing + replay run
+        # in query-aligned chunks (eq reconstructed per chunk — a global
+        # np.repeat is 27 GB at config-5 scale)
         ei_s, eo_s, _ = ents.fetch_all()
-        eq_s = np.repeat(np.arange(R, dtype=np.int64), np.diff(bounds))
         idx_e, eo_e, j_e = cw.value_and_replay_host(
-            eq_s, ei_s, eo_s, bounds, dev_arrays, M, overlap_cutoff,
-            cutoffs, edge_threshold, over, host_value)
+            None, ei_s, eo_s, bounds, dev_arrays, M, overlap_cutoff,
+            cutoffs, edge_threshold, over, host_value, host_arrays)
     else:
         idx_e, eo_e, j_e = cw.resolve_device(
             ents.device_buckets(), bounds, max_itv, max_nc, dev_arrays,
@@ -789,7 +791,26 @@ def get_subgraphs(edges, node_pos):
         shards = [earr[i * per:(i + 1) * per] for i in range(n_dev)]
         labels = np.asarray(merged_components(mesh, shards, n, per))
     else:
-        labels = np.asarray(components.connected_components_padded(earr, n))
+        try:
+            labels = np.asarray(
+                components.connected_components_padded(earr, n))
+        except Exception as e:
+            if 'RESOURCE_EXHAUSTED' not in str(e):
+                raise
+            labels = None
+        if labels is None:
+            # transient HBM pressure (shared chip / post-build allocator
+            # state): components are pure graph logic, so a host
+            # union-find is observably identical — get_subgraphs orders
+            # by first-seen node, independent of label values
+            print('WARNING: device components hit RESOURCE_EXHAUSTED; '
+                  'computing connected components on host',
+                  file=sys.stderr)
+            from scipy.sparse import coo_matrix
+            from scipy.sparse.csgraph import connected_components as _cc
+            m = coo_matrix((np.ones(len(earr), np.int8),
+                            (earr[:, 0], earr[:, 1])), shape=(n, n))
+            _, labels = _cc(m, directed=False)
     comp_order = []
     comp_members = {}
     for pos in range(n):

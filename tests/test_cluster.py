@@ -436,3 +436,39 @@ def test_capwalk_replay_matches_sequential_walk():
         got = capwalk.replay(passv, gated, rc, eq, bounds, T)
         want = sequential(passv, gated, runs, bounds, T)
         np.testing.assert_array_equal(got, want, err_msg=f'trial {trial}')
+
+
+def test_value_and_replay_host_chunked_matches_flat():
+    """Query-aligned chunking of the host value+replay (config-5 RAM
+    bound) must be exact: force 1-entry chunks on a capped frame and
+    compare against the one-chunk pass."""
+    import numpy as np
+
+    from fslr_tpu.config import ClusterConfig
+    from fslr_tpu.ops import capwalk as cw
+    from fslr_tpu.stages import cluster as C
+    from tests.test_reference_oracle import make_frame
+
+    rng = np.random.default_rng(909)
+    bed = make_frame(rng, n_groups=3, max_members=14, n_noise=5)
+    # run the device-enumeration spill path twice with different chunk
+    # sizes by monkeypatching the chunk default
+    import functools
+    orig = cw.value_and_replay_host
+    outs = {}
+    for label, ch in (('flat', 1 << 60), ('tiny', 7)):
+        cw.value_and_replay_host = functools.partial(orig, chunk=ch)
+        try:
+            cfg = ClusterConfig(device_enum_min_encounters=0,
+                                enum_spill_min_encounters=1,
+                                edge_threshold=3)
+            res = C.cluster_stage(
+                bed.copy().assign(chrom=['chr%d' % c
+                                         for c in bed['chrom']]),
+                {f'chr{c}': 10_000_000 for c in
+                 sorted(set(bed['chrom']))}, cfg)
+            outs[label] = (None if res.no_clusters else
+                           res.cluster_bed.to_csv())
+        finally:
+            cw.value_and_replay_host = orig
+    assert outs['flat'] == outs['tiny']
