@@ -1138,8 +1138,10 @@ def _build_entries_spill(jobs, R, max_itv, max_nc, qlen2, naln,
         del order
         eq_r = tv // trav_scale
         q_lo = qr * q_span
-        counts_q[q_lo:q_lo + q_span] += np.bincount(
-            eq_r - q_lo, minlength=q_span)[:q_span]
+        hi_q = min(q_lo + q_span, R)        # last range is shorter when
+        w = hi_q - q_lo                     # R % q_span != 0
+        counts_q[q_lo:hi_q] += np.bincount(eq_r - q_lo,
+                                           minlength=w)[:w]
         ei_parts.append(((tv // max_nc) % max_itv).astype(np.int32))
         del tv, eq_r
         eo_parts2.append(eo_r)

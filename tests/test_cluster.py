@@ -472,3 +472,36 @@ def test_value_and_replay_host_chunked_matches_flat():
         finally:
             cw.value_and_replay_host = orig
     assert outs['flat'] == outs['tiny']
+
+
+def test_spill_query_ranges_ragged_tail():
+    """Phase 3 of the spill build buckets by query range with q_span =
+    ceil(R / 64); when R is not a multiple of q_span the LAST range is
+    shorter — the bincount accumulation must clip (found by the first
+    full 10M config-5 run, which died here after its 62-minute build).
+    69 reads -> q_span = 2, last range holds one read."""
+    import numpy as np
+
+    from fslr_tpu.config import ClusterConfig
+    from fslr_tpu.stages import cluster as C
+
+    rng = np.random.default_rng(6969)
+    R = 69
+    start = 100_000 + rng.integers(-40, 41, R)
+    end = start + 1_000 + rng.integers(-40, 41, R)
+    data = [C.IntervalItem(1, int(s), int(e), float(e - s), r, 3,
+                           1_000, int((e - s) // 2 + s), r)
+            for r, (s, e) in enumerate(zip(start, end))]
+    data.sort(key=lambda it: it.start)
+    cfg_spill = ClusterConfig(device_enum_min_encounters=0,
+                              enum_spill_min_encounters=1,
+                              exact_cap_replay=False)
+    cfg_host = ClusterConfig(device_enum_min_encounters=1 << 62,
+                             exact_cap_replay=False)
+    out = {}
+    for label, cfg in (('spill', cfg_spill), ('host', cfg_host)):
+        m, edges, node_pos = C.query_graph(
+            data, cfg.overlap, list(cfg.jaccard_cutoffs),
+            cfg.edge_threshold, cfg.qlen_diff, cfg.n_alignment_diff, cfg)
+        out[label] = (sorted(map(tuple, edges)), node_pos)
+    assert out['spill'] == out['host']
