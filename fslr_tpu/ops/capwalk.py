@@ -43,11 +43,23 @@ interval of the same read or from the other read's traversal.  So:
     (:func:`pass_counts`) and falls back to an exact sequential replay
     over the full multi-occurrence stream; the device and spill scale
     paths keep the closed form (re-materializing the multi-billion-
-    encounter stream is the reference's own unscalable walk).  The
-    divergence touches only over-cap edges of already-heavily-connected
-    reads: the reference's observable artifacts (cluster/representative
-    beds, main.py:334-352) depend only on connected components, which
-    the differential oracle checks stay identical on capped frames.
+    encounter stream is the reference's own unscalable walk).
+
+    Measured divergence bound (fslr_tpu/tools/cap_sweep.py, round 5:
+    900 adversarial cap-heavy frames — 1-4 groups of 12-40 members,
+    caps drawn from {3,5,10} — forced onto the device path): edge sets
+    differed on 74% of frames (max symmetric difference 725 edges), and
+    the observable CLUSTER PARTITION (cluster/representative beds,
+    main.py:334-352) differed on 4/900 = 0.44% of frames, always by
+    splitting one reference cluster whose members were bridged only by
+    over-cap re-test edges.  The host path replayed all four mismatch
+    seeds bit-exact (tests/test_reference_oracle.py::
+    test_cap_sweep_mismatch_seeds_host_exact).  In production the
+    closed form engages only at >= ClusterConfig.
+    device_enum_min_encounters (4M) encounters — datasets far past
+    where the reference's sequential Python walk is practical; below
+    that the pipeline takes the host path, which is exact under
+    capping whenever cfg.exact_cap_replay (default True).
 
 Two implementations share the formulas: :func:`replay` (numpy, used by
 the host enumeration path and the spill fallback) and the jitted

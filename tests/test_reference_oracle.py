@@ -448,9 +448,13 @@ def test_differential_capped_default_threshold(seed):
 def test_differential_capped_device_components(seed):
     """Device scale path on capped frames: the closed-form replay tests
     each pair at its first encounter, so EDGE sets may legitimately
-    differ from the reference once a query exceeds the cap — but every
-    observable artifact (cluster bed, representatives) depends only on
-    connected components, which must match (and empirically do)."""
+    differ from the reference once a query exceeds the cap — on these
+    frames the observable artifacts (cluster bed, representatives)
+    still match.  NOT a universal invariant: the round-5 adversarial
+    sweep (fslr_tpu/tools/cap_sweep.py) measured partition flips on
+    0.44% of cap-heavy frames (bound documented in ops/capwalk.py);
+    the host path stays bit-exact on those seeds (see
+    test_cap_sweep_mismatch_seeds_host_exact below)."""
     rng = np.random.default_rng(700 + seed)
     bed = make_frame(rng, n_groups=3, max_members=25, n_noise=4)
     cfg = ClusterConfig(device_enum_min_encounters=0)
@@ -483,3 +487,21 @@ def test_differential_capped_chunked_exact_walk(seed, monkeypatch):
     bed = make_frame(rng, n_groups=2, max_members=25,
                      n_noise=int(rng.integers(0, 6)))
     _assert_frame_matches_reference(bed, ClusterConfig())
+
+
+@pytest.mark.parametrize('seed', [20, 159, 183, 857])
+def test_cap_sweep_mismatch_seeds_host_exact(seed):
+    """Regression locks from the round-5 adversarial cap sweep
+    (fslr_tpu/tools/cap_sweep.py): these four seeds are the frames (of
+    900) where the device closed-form cap replay SPLIT a reference
+    cluster bridged only by over-cap re-test edges.  The production
+    host path (taken below device_enum_min_encounters; exact capped
+    walk) must replay every one of them bit-exact — edges, match rows,
+    partition, and representatives."""
+    rng = np.random.default_rng(seed)
+    bed = make_frame(rng,
+                     n_groups=int(rng.integers(1, 5)),
+                     max_members=int(rng.integers(12, 40)),
+                     n_noise=int(rng.integers(0, 10)))
+    cfg = ClusterConfig(edge_threshold=int(rng.choice([3, 5, 10, 10, 10])))
+    _assert_frame_matches_reference(bed, cfg)
