@@ -93,7 +93,7 @@ def run_once(root, ref_path, fq_dir, tag, consensus=False):
     return dt, stages, instrument.cell_counts()
 
 
-def measure(tag, n_reads=N_READS, repeats=3, consensus=False):
+def measure(tag, n_reads=N_READS, repeats=3, consensus=False, n_groups=20):
     """`repeats` warm runs (the tunnelled TPU link's latency fluctuates
     several-fold between runs).  Returns a dict with reads/s of the BEST
     run plus the full spread (min/median/max wall and per-run per-stage
@@ -101,7 +101,7 @@ def measure(tag, n_reads=N_READS, repeats=3, consensus=False):
     round-4 verdict: a single sample cannot distinguish a tunnel-latency
     spike from a real regression."""
     root = tempfile.mkdtemp(prefix='fslr_bench_')
-    ref_path, fq_dir = make_dataset(root, n_reads)
+    ref_path, fq_dir = make_dataset(root, n_reads, n_groups)
     run_once(root, ref_path, fq_dir, tag + '_warm',
              consensus=consensus)                       # compile warm-up
     runs = [run_once(root, ref_path, fq_dir, f'{tag}{r}',
@@ -286,12 +286,18 @@ def main():
         n = 10 * N_READS
         if '--reads' in sys.argv:
             n = int(sys.argv[sys.argv.index('--reads') + 1])
-        r = measure('cons', n_reads=n, repeats=3, consensus=True)
+        # realistic consensus regime (round-4 verdict item 6): many
+        # clusters of ~20 reads each, so the batched POA engine sees
+        # n/20 profile graphs per run rather than 20 giant clusters
+        groups = max(20, n // 20)
+        r = measure('cons', n_reads=n, repeats=3, consensus=True,
+                    n_groups=groups)
         cells = r['dp_cells']
         cons_s = r['stage_s'].get('consensus', 0.0)
         print(json.dumps({
             'metric': f'end-to-end pipeline + POA consensus reads/s '
-                      f'({n} synthetic fusion reads; TPU chip)',
+                      f'({n} synthetic fusion reads, {groups} clusters; '
+                      f'TPU chip)',
             'value': round(r['reads_per_s'], 2),
             'unit': 'reads/s',
             'wall_s': r['wall_s'],
