@@ -252,14 +252,17 @@ def _walk_device(bits, qend, lane, T):
     """
     N, R, BW_ = bits.shape
     Lq = R * 8
-    flat = bits.reshape(-1)
-    rows = jnp.arange(N, dtype=jnp.int32)
+    # per-row gather: index space is R*BW (< 2^31 always), NOT N*R*BW —
+    # a flat int32 index overflows for large winner batches (1M-read
+    # chunks put ~1e10 words in the flat view)
+    flat2 = bits.reshape(N, R * BW_)
 
     def step(carry, _):
         i, l, st, active = carry
         ii = jnp.clip(i, 0, Lq - 1)
         ll = jnp.clip(l, 0, BW_ - 1)
-        word = jnp.take(flat, (rows * R + (ii >> 3)) * BW_ + ll)
+        word = jnp.take_along_axis(
+            flat2, ((ii >> 3) * BW_ + ll)[:, None], axis=1)[:, 0]
         code = (word >> ((ii & 7) * 4)) & 15
         src = code & 3
         e_ext = (code & 4) != 0

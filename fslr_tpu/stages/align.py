@@ -1402,23 +1402,29 @@ def _emit_selected(ca: CandAln, sel_idx: np.ndarray, cat: np.ndarray,
     keys = (src.astype(np.int64) << 32) | slb
     pending = []
     for key in np.unique(keys):
-        g = np.flatnonzero(keys == key)
+        gall = np.flatnonzero(keys == key)
         s_ = int(key >> 32)
         SL = int(key & 0xffffffff)
-        with _sub('emit.asm'):
-            sf = (off[ri[g]] + qlo[g]).astype(np.int32)
-            er = (off[ri[g]] + (Lq[g] - qlo[g])).astype(np.int32)
-        with _sub('emit.disp'):
-            packed_t, emits = dispatch.dp_call(
-                _emit_kernel,
-                (sf, er, sv[g], kq[g].astype(np.int32),
-                 ws[g].astype(np.int32), cmin[g].astype(np.int32),
-                 cmax[g].astype(np.int32)),
-                (cat_j, ca.genomes[s_][0]),
-                statics=(SL, acfg.scoring, backend))
-        instrument.add_cells(int(kq[g].sum(dtype=np.int64)) * banded.BW,
-                             'extend')
-        pending.append((g, packed_t.T, emits))
+        # chunk rows: the emit kernel's bits tensor costs ~SL*64 B/row of
+        # HBM and the walk's per-row index space must stay well under
+        # 2^31 words — a 1M-read run puts 100k+ winners in one bucket
+        rows_per = max(128, min(32768, (1 << 30) // max(SL * 64, 1)))
+        for o in range(0, len(gall), rows_per):
+            g = gall[o:o + rows_per]
+            with _sub('emit.asm'):
+                sf = (off[ri[g]] + qlo[g]).astype(np.int32)
+                er = (off[ri[g]] + (Lq[g] - qlo[g])).astype(np.int32)
+            with _sub('emit.disp'):
+                packed_t, emits = dispatch.dp_call(
+                    _emit_kernel,
+                    (sf, er, sv[g], kq[g].astype(np.int32),
+                     ws[g].astype(np.int32), cmin[g].astype(np.int32),
+                     cmax[g].astype(np.int32)),
+                    (cat_j, ca.genomes[s_][0]),
+                    statics=(SL, acfg.scoring, backend))
+            instrument.add_cells(int(kq[g].sum(dtype=np.int64))
+                                 * banded.BW, 'extend')
+            pending.append((g, packed_t.T, emits))
     # TWO fetches for ALL groups (one int32, one uint8): each transfer
     # over the TPU tunnel costs ~1 s of latency
     with _sub('emit.fetch'):
