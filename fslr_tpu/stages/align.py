@@ -699,6 +699,25 @@ def _gather_q_impl(cat32, sf, er, srev, qlens, *, SL):
     return jnp.where(j < qlens[:, None], v, 4).astype(jnp.uint8)
 
 
+def _pad_rows_1k(idx: np.ndarray) -> np.ndarray:
+    """Pad an index array to the next 1024 multiple by repeating its first
+    element, so extension-kernel batch shapes stay stable across stream
+    chunks and runs (each novel shape costs a 20-60 s remote compile).
+    Callers slice the padded rows off the fetched results."""
+    n = len(idx)
+    if n >= 1024:
+        target = -(-n // 1024) * 1024
+    elif n > 0:
+        # small batches: pow2 bucket (<=2x compute waste; a fixed 1024
+        # floor made tiny CPU-backend batches ~100x more work)
+        target = max(8, 1 << (n - 1).bit_length())
+    else:
+        return idx
+    if target == n:
+        return idx
+    return np.concatenate([idx, np.repeat(idx[:1], target - n)])
+
+
 def _score_kernel(sf, er, srev, qlens, ws, cmin, cmax, cat, genome, SL,
                   scoring, backend):
     """Device q-slice gather + banded_extend_score; batch-major (N, 5)
@@ -903,29 +922,35 @@ def _extend_rows(cands: Cands, cat: np.ndarray, off: np.ndarray,
         rows_per = max(128, min(8192, (1 << 28) // max(SL * 16, 1)))
         for o in range(0, len(cidxs), rows_per):
             chunk = cidxs[o:o + rows_per]
-            ri = cands.ridx[chunk]
-            sv = cands.srev[chunk]
-            ql = qlo[chunk]
-            qlens = np.minimum(qlens_all[chunk], SL).astype(np.int32)
+            # pad ragged tails to a 1024-row multiple by repeating row 0
+            # (results sliced off in phase B): arbitrary tail sizes each
+            # compile a fresh program through the remote compile service
+            # (~20-60 s), and at 1M reads every stream chunk has one
+            ci = _pad_rows_1k(chunk)
+            ri = cands.ridx[ci]
+            sv = cands.srev[ci]
+            ql = qlo[ci]
+            qlens = np.minimum(qlens_all[ci], SL).astype(np.int32)
             # fwd rows read cat[sf+j]; rc rows read the read's reverse
             # complement: rc[qlo+j] = comp(cat[er-1-j]).  Rows are
             # gathered ON DEVICE from the resident codes (_gather_q_impl)
             # -- only these int32 vectors ever cross the link.
             with _sub('ext.asm'):
                 sf = (off[ri] + ql).astype(np.int32)
-                er = (off[ri] + (Lq[chunk] - ql)).astype(np.int32)
+                er = (off[ri] + (Lq[ci] - ql)).astype(np.int32)
             with _sub('ext.disp'):
                 packed_t = dispatch.dp_call(
                     _score_kernel,
-                    (sf, er, sv, qlens, ws_all[chunk].astype(np.int32),
-                     cmin_all[chunk].astype(np.int32),
-                     cmax_all[chunk].astype(np.int32)),
+                    (sf, er, sv, qlens, ws_all[ci].astype(np.int32),
+                     cmin_all[ci].astype(np.int32),
+                     cmax_all[ci].astype(np.int32)),
                     (cat_j, genome_j),
                     statics=(SL, acfg.scoring, backend))
-            # forward + reverse pass
-            instrument.add_cells(2 * int(qlens.sum(dtype=np.int64))
-                                 * banded.BW, 'extend')
-            pending.append((chunk, packed_t.T, qlens))
+            # forward + reverse pass (padded rows excluded from the tally)
+            instrument.add_cells(
+                2 * int(qlens[:len(chunk)].sum(dtype=np.int64))
+                * banded.BW, 'extend')
+            pending.append((chunk, packed_t.T, qlens[:len(chunk)]))
 
     import jax.numpy as jnp
     with _sub('ext.fetch'):
@@ -936,7 +961,7 @@ def _extend_rows(cands: Cands, cat: np.ndarray, off: np.ndarray,
     _t_post = _sub('ext.post'); _t_post.__enter__()
     for chunk, packed, kq in pending:
         psz = int(np.prod(packed.shape))
-        p_np = all_p[po:po + psz].reshape(packed.shape)
+        p_np = all_p[po:po + psz].reshape(packed.shape)[:, :len(chunk)]
         po += psz
         score, qend, lane, qstart_c, l_fin = p_np
         keep = np.flatnonzero(score > 0)
@@ -1411,15 +1436,18 @@ def _emit_selected(ca: CandAln, sel_idx: np.ndarray, cat: np.ndarray,
         rows_per = max(128, min(32768, (1 << 30) // max(SL * 64, 1)))
         for o in range(0, len(gall), rows_per):
             g = gall[o:o + rows_per]
+            # stable shapes: pad ragged tails to a 1024-row multiple
+            # (padded results sliced off in the post loop)
+            gp = _pad_rows_1k(g)
             with _sub('emit.asm'):
-                sf = (off[ri[g]] + qlo[g]).astype(np.int32)
-                er = (off[ri[g]] + (Lq[g] - qlo[g])).astype(np.int32)
+                sf = (off[ri[gp]] + qlo[gp]).astype(np.int32)
+                er = (off[ri[gp]] + (Lq[gp] - qlo[gp])).astype(np.int32)
             with _sub('emit.disp'):
                 packed_t, emits = dispatch.dp_call(
                     _emit_kernel,
-                    (sf, er, sv[g], kq[g].astype(np.int32),
-                     ws[g].astype(np.int32), cmin[g].astype(np.int32),
-                     cmax[g].astype(np.int32)),
+                    (sf, er, sv[gp], kq[gp].astype(np.int32),
+                     ws[gp].astype(np.int32), cmin[gp].astype(np.int32),
+                     cmax[gp].astype(np.int32)),
                     (cat_j, ca.genomes[s_][0]),
                     statics=(SL, acfg.scoring, backend))
             instrument.add_cells(int(kq[g].sum(dtype=np.int64))
@@ -1440,9 +1468,9 @@ def _emit_selected(ca: CandAln, sel_idx: np.ndarray, cat: np.ndarray,
     for g, packed, emits in pending:
         psz = int(np.prod(packed.shape))
         esz = int(np.prod(emits.shape))
-        p_np = allp[po:po + psz].reshape(packed.shape)
+        p_np = allp[po:po + psz].reshape(packed.shape)[:, :len(g)]
         po += psz
-        e_np = alle[eo:eo + esz].reshape(emits.shape)
+        e_np = alle[eo:eo + esz].reshape(emits.shape)[:len(g)]
         eo += esz
         if _SUBT_ON:
             import sys as _sys
